@@ -1,0 +1,188 @@
+"""Config/flag system.
+
+Reproduces the reference flag surface (``opts.py:4-245`` in the reference
+repo) as a typed dataclass with argparse round-tripping, plus TPU-specific
+knobs the reference has no equivalent for (mesh shape, dtype policy).
+
+Unlike the reference — which mutates the argparse namespace at runtime
+(``utils.py:98`` divides batch_size in place, ``main_byol.py:187``
+synthesizes ``arch``) — ``Config`` is immutable after ``finalize()``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
+
+
+@dataclass
+class Config:
+    # ---- datasets (reference opts.py:7-46) ----
+    frame_dir: str = "dataset/UCF101/"
+    annotation_path: str = "dataset/UCF101_labels"
+    dataset: str = "UCF101"
+    split: str = "1"
+    modality: str = "RGB"
+    input_channels: int = 3
+    n_classes: int = 101
+    n_finetune_classes: int = 101
+
+    # ---- model (opts.py:49-104) ----
+    model_name: str = "r21d_byol"
+    model_depth: int = 1
+    resnet_shortcut: str = "B"
+    ft_begin_index: int = 0
+    sample_size: int = 112
+    sample_duration: int = 16
+    batch_size: int = 32          # GLOBAL batch (reference divides by world_size)
+    n_workers: int = 4
+    pretrained_path: str = ""
+    test_md_path: str = ""
+    resume_md_path: str = ""
+
+    # ---- optimizer (opts.py:107-146) ----
+    learning_rate: float = 3e-4
+    momentum: float = 0.9
+    dampening: float = 0.9
+    weight_decay: float = 1e-4
+    nesterov: bool = False
+    optimizer: str = "sgd"
+    lr_patience: int = 10
+    n_epochs: int = 400
+
+    # ---- logging / misc (opts.py:149-242) ----
+    result_path: str = "results"
+    manual_seed: int = 1
+    task: str = "loss_com"        # loss_com/r_byol/ft_fc/ft_all/scratch/test/resume
+    temperature: float = 0.5
+    lr_decay: float = 1e-4
+    sync_bn: int = 1
+    clip_grad_norm: int = 1
+    clip_grad_value: float = 18.0  # reference hard-codes 18 (main_byol.py:89)
+    pb_rate: int = 4
+    transform_mode: str = "img"
+    input_size: int = 320
+    output_feat: int = 128
+    norm_method: str = "tf"
+    loss_weight: Tuple[float, ...] = (0.1, 1.0, 1.0, 1.0, 1.0)
+    t_ft_task: str = ""
+    sc_type: str = "B"
+    lmdb_path: str = ""
+    steps_per_epoch: int = 0       # 0 = derive from dataset length
+    cls_bn: bool = True
+
+    # ---- TPU-native knobs (no reference equivalent) ----
+    mesh_shape: Tuple[int, ...] = (-1, 1)   # (data, model); -1 = all remaining
+    mesh_axes: Tuple[str, ...] = ("data", "model")
+    compute_dtype: str = "bfloat16"         # conv/matmul compute dtype
+    param_dtype: str = "float32"
+    byol_momentum: float = 0.996            # EMA m (r21d_byol.py:263)
+    prefetch_depth: int = 2
+    log_every: int = 1
+    ckpt_every_epochs: int = 100            # reference: epoch % 100 (main_byol.py:132)
+    device_augment: bool = True             # fused on-device aug vs host PIL path
+    data_backend: str = "framedir"          # framedir | packed | synthetic
+    synthetic_len: int = 256                # synthetic dataset size
+
+    def finalize(self) -> "Config":
+        """Validate and derive fields; returns self for chaining."""
+        assert self.task in (
+            "loss_com", "r_byol", "ft_fc", "ft_all", "scratch", "test", "resume"
+        ), f"unknown task {self.task}"
+        assert self.optimizer in ("sgd", "adam", "adamw")
+        if isinstance(self.loss_weight, (int, float)):
+            self.loss_weight = (float(self.loss_weight),) * 5
+        self.loss_weight = tuple(float(w) for w in self.loss_weight)
+        assert len(self.loss_weight) == 5, "loss_weight must be 5 floats"
+        return self
+
+    @property
+    def arch(self) -> str:
+        # reference synthesizes '{model_name}-{model_depth}' (main_byol.py:187)
+        return f"{self.model_name}-{self.model_depth}"
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2, default=str)
+
+    @classmethod
+    def from_json(cls, s: str) -> "Config":
+        d = json.loads(s)
+        known = {f.name for f in dataclasses.fields(cls)}
+        d = {k: v for k, v in d.items() if k in known}
+        for k in ("loss_weight", "mesh_shape", "mesh_axes"):
+            if k in d and isinstance(d[k], list):
+                d[k] = tuple(d[k])
+        return cls(**d).finalize()
+
+
+def _add_args(parser: argparse.ArgumentParser) -> None:
+    """Flag surface mirroring reference opts.py names exactly."""
+    c = Config()
+    parser.add_argument("--frame_dir", default=c.frame_dir, type=str)
+    parser.add_argument("--annotation_path", default=c.annotation_path, type=str)
+    parser.add_argument("--dataset", default=c.dataset, type=str)
+    parser.add_argument("--split", default=c.split, type=str)
+    parser.add_argument("--modality", default=c.modality, type=str)
+    parser.add_argument("--input_channels", default=c.input_channels, type=int)
+    parser.add_argument("--n_classes", default=c.n_classes, type=int)
+    parser.add_argument("--n_finetune_classes", default=c.n_finetune_classes, type=int)
+    parser.add_argument("--model_name", default=c.model_name, type=str)
+    parser.add_argument("--model_depth", default=c.model_depth, type=int)
+    parser.add_argument("--resnet_shortcut", default=c.resnet_shortcut, type=str)
+    parser.add_argument("--ft_begin_index", default=c.ft_begin_index, type=int)
+    parser.add_argument("--sample_size", default=c.sample_size, type=int)
+    parser.add_argument("--sample_duration", default=c.sample_duration, type=int)
+    parser.add_argument("--batch_size", default=c.batch_size, type=int)
+    parser.add_argument("--n_workers", default=c.n_workers, type=int)
+    parser.add_argument("--pretrained_path", default=c.pretrained_path, type=str)
+    parser.add_argument("--test_md_path", default=c.test_md_path, type=str)
+    parser.add_argument("--resume_md_path", default=c.resume_md_path, type=str)
+    parser.add_argument("--learning_rate", default=c.learning_rate, type=float)
+    parser.add_argument("--momentum", default=c.momentum, type=float)
+    parser.add_argument("--dampening", default=c.dampening, type=float)
+    parser.add_argument("--weight_decay", default=c.weight_decay, type=float)
+    parser.add_argument("--nesterov", action="store_true")
+    parser.add_argument("--optimizer", default=c.optimizer, type=str)
+    parser.add_argument("--lr_patience", default=c.lr_patience, type=int)
+    parser.add_argument("--n_epochs", default=c.n_epochs, type=int)
+    parser.add_argument("--result_path", default=c.result_path, type=str)
+    parser.add_argument("--manual_seed", default=c.manual_seed, type=int)
+    parser.add_argument("--task", default=c.task, type=str)
+    parser.add_argument("--temperature", default=c.temperature, type=float)
+    parser.add_argument("--lr_decay", default=c.lr_decay, type=float)
+    parser.add_argument("--sync_bn", default=c.sync_bn, type=int)
+    parser.add_argument("--clip_grad_norm", default=c.clip_grad_norm, type=int)
+    parser.add_argument("--pb_rate", default=c.pb_rate, type=int)
+    parser.add_argument("--transform_mode", default=c.transform_mode, type=str)
+    parser.add_argument("--input_size", default=c.input_size, type=int)
+    parser.add_argument("--output_feat", default=c.output_feat, type=int)
+    parser.add_argument("--norm_method", default=c.norm_method, type=str)
+    parser.add_argument("--loss_weight", default=list(c.loss_weight), nargs="+", type=float)
+    parser.add_argument("--t_ft_task", default=c.t_ft_task, type=str)
+    parser.add_argument("--sc_type", default=c.sc_type, type=str)
+    parser.add_argument("--lmdb_path", default=c.lmdb_path, type=str)
+    parser.add_argument("--steps_per_epoch", default=c.steps_per_epoch, type=int)
+    # TPU-native
+    parser.add_argument("--mesh_shape", default=list(c.mesh_shape), nargs="+", type=int)
+    parser.add_argument("--compute_dtype", default=c.compute_dtype, type=str)
+    parser.add_argument("--byol_momentum", default=c.byol_momentum, type=float)
+    parser.add_argument("--data_backend", default=c.data_backend, type=str)
+    parser.add_argument("--synthetic_len", default=c.synthetic_len, type=int)
+    parser.add_argument("--ckpt_every_epochs", default=c.ckpt_every_epochs, type=int)
+    parser.add_argument("--log_every", default=c.log_every, type=int)
+
+
+def parse_opts(argv: Optional[List[str]] = None) -> Config:
+    """Reference-parity entry: ``parse_opts()`` -> Config (opts.py:4)."""
+    parser = argparse.ArgumentParser(description="cstp_tpu")
+    _add_args(parser)
+    ns = parser.parse_args(argv)
+    d = vars(ns)
+    d["loss_weight"] = tuple(d["loss_weight"])
+    d["mesh_shape"] = tuple(d["mesh_shape"])
+    known = {f.name for f in dataclasses.fields(Config)}
+    d = {k: v for k, v in d.items() if k in known}
+    return Config(**d).finalize()

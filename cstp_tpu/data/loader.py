@@ -1,0 +1,216 @@
+"""Host-side clip loaders + device prefetch.
+
+Replaces the reference's torch DataLoader worker processes + CUDA-stream
+prefetcher (``main_ft_mp.py:313-352``) with:
+
+* per-epoch deterministic shuffling seeded by epoch (DistributedSampler
+  ``set_epoch`` semantics, utils.py:94-118), sharded per host for multi-host;
+* a thread pool for JPEG decode (PIL releases the GIL);
+* a double-buffered background prefetcher that lands batches on the device
+  mesh (sharded over 'data') while the previous step computes.
+
+Loaders emit raw uint8 frames + host-side pretext labels; ALL augmentation
+runs on-device inside the train step (SURVEY §3 hot-loop item (2)).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Dict, Iterator, Optional
+
+import jax
+import numpy as np
+
+from cstp_tpu.parallel import shard_batch
+from cstp_tpu.pretext.sampling import (
+    PACE,
+    sample_clip_pair_host,
+    strided_frame_indices,
+    wraparound_frame_indices,
+)
+
+
+def _epoch_permutation(n: int, epoch: int, seed: int, shuffle: bool) -> np.ndarray:
+    if not shuffle:
+        return np.arange(n)
+    rng = np.random.default_rng(seed * 1_000_003 + epoch)
+    return rng.permutation(n)
+
+
+class PretrainLoader:
+    """Yields pretrain batches: two raw clips + temporal pretext labels."""
+
+    def __init__(self, dataset, batch_size: int, sample_duration: int,
+                 seed: int = 1, num_workers: int = 4, drop_last: bool = True,
+                 process_index: int = 0, process_count: int = 1):
+        self.ds = dataset
+        self.batch_size = batch_size
+        self.sample_duration = sample_duration
+        self.seed = seed
+        self.num_workers = max(1, num_workers)
+        self.drop_last = drop_last
+        self.process_index = process_index
+        self.process_count = process_count
+
+    def __len__(self):
+        n = self.ds.num_videos() // self.process_count
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def _load_one(self, vid: int, rng: np.random.Generator):
+        nframes, _ = self.ds.video_meta(vid)
+        s = sample_clip_pair_host(rng, nframes, self.sample_duration)
+        f1 = self.ds.read_frames(vid, s.indices_1)
+        f2 = self.ds.read_frames(vid, s.indices_2)
+        return f1, f2, s
+
+    def _sample_batch(self, ids, epoch: int):
+        return [
+            sample_clip_pair_host(
+                np.random.default_rng((self.seed, epoch, int(v))),
+                self.ds.video_meta(int(v))[0],
+                self.sample_duration,
+            )
+            for v in ids
+        ]
+
+    def epoch(self, epoch: int) -> Iterator[Dict[str, np.ndarray]]:
+        perm = _epoch_permutation(self.ds.num_videos(), epoch, self.seed, True)
+        perm = perm[self.process_index :: self.process_count]
+        bs = self.batch_size
+        batched = hasattr(self.ds, "read_clips")  # native reader fast path
+        with ThreadPoolExecutor(self.num_workers) as pool:
+            for start in range(0, len(perm) - (bs - 1 if self.drop_last else 0), bs):
+                ids = perm[start : start + bs]
+                if batched:
+                    samples = self._sample_batch(ids, epoch)
+                    vids = np.asarray(list(ids) * 2, np.int32)
+                    idx = np.stack(
+                        [s.indices_1 for s in samples]
+                        + [s.indices_2 for s in samples]
+                    )
+                    frames = self.ds.read_clips(vids, idx)
+                    f1, f2 = frames[: len(ids)], frames[len(ids) :]
+                else:
+                    rngs = [
+                        np.random.default_rng((self.seed, epoch, int(v)))
+                        for v in ids
+                    ]
+                    results = list(pool.map(self._load_one, ids, rngs))
+                    f1 = np.stack([r[0] for r in results])
+                    f2 = np.stack([r[1] for r in results])
+                    samples = [r[2] for r in results]
+                yield {
+                    "frames1": f1,
+                    "frames2": f2,
+                    "rot1": np.asarray([s.rot_label_1 for s in samples], np.int32),
+                    "rot2": np.asarray([s.rot_label_2 for s in samples], np.int32),
+                    "tem": np.asarray([s.tem_label for s in samples], np.int32),
+                    "pb": np.asarray([s.pb_label for s in samples], np.int32),
+                }
+
+
+class FinetuneLoader:
+    """Single-clip loader for finetune/val (reference UcfFineTune semantics,
+    datasets.py:1003-1060): train clips at fixed ``pb_rate`` stride from a
+    random start; val clips likewise (deterministic start here — fixing the
+    reference's nondeterministic validation, datasets.py:1047)."""
+
+    def __init__(self, dataset, batch_size: int, sample_duration: int,
+                 pb_rate: int = 4, train: bool = True, seed: int = 1,
+                 num_workers: int = 4, drop_last: Optional[bool] = None,
+                 process_index: int = 0, process_count: int = 1):
+        self.ds = dataset
+        self.batch_size = batch_size
+        self.sample_duration = sample_duration
+        self.pb_rate = pb_rate
+        self.train = train
+        self.seed = seed
+        self.num_workers = max(1, num_workers)
+        self.drop_last = train if drop_last is None else drop_last
+        self.process_index = process_index
+        self.process_count = process_count
+
+    def __len__(self):
+        n = self.ds.num_videos() // self.process_count
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def _clip_indices(self, nframes: int, rng: Optional[np.random.Generator]):
+        cr = (self.sample_duration - 1) * self.pb_rate
+        if nframes - cr <= 0:
+            return wraparound_frame_indices(nframes, self.sample_duration,
+                                            self.pb_rate)
+        if rng is None:  # deterministic center clip for validation
+            start = (nframes - cr - 1) // 2
+        else:
+            start = int(rng.integers(0, nframes - cr))
+        return strided_frame_indices(start, self.sample_duration, self.pb_rate)
+
+    def _load_one(self, vid: int, epoch: int):
+        nframes, label = self.ds.video_meta(vid)
+        rng = (
+            np.random.default_rng((self.seed, epoch, int(vid)))
+            if self.train
+            else None
+        )
+        idx = self._clip_indices(nframes, rng)
+        return self.ds.read_frames(vid, idx), label
+
+    def epoch(self, epoch: int) -> Iterator[Dict[str, np.ndarray]]:
+        perm = _epoch_permutation(self.ds.num_videos(), epoch, self.seed,
+                                  self.train)
+        perm = perm[self.process_index :: self.process_count]
+        bs = self.batch_size
+        batched = hasattr(self.ds, "read_clips")  # native reader fast path
+        with ThreadPoolExecutor(self.num_workers) as pool:
+            stop = len(perm) - (bs - 1) if self.drop_last else len(perm)
+            for start in range(0, max(stop, 0), bs):
+                ids = perm[start : start + bs]
+                if batched:
+                    metas = [self.ds.video_meta(int(v)) for v in ids]
+                    idx = np.stack([
+                        self._clip_indices(
+                            nf,
+                            np.random.default_rng((self.seed, epoch, int(v)))
+                            if self.train else None,
+                        )
+                        for (nf, _), v in zip(metas, ids)
+                    ])
+                    frames = self.ds.read_clips(np.asarray(ids, np.int32), idx)
+                    labels = np.asarray([m[1] for m in metas], np.int32)
+                else:
+                    results = list(
+                        pool.map(self._load_one, ids, [epoch] * len(ids))
+                    )
+                    frames = np.stack([r[0] for r in results])
+                    labels = np.asarray([r[1] for r in results], np.int32)
+                yield {"frames": frames, "labels": labels}
+
+
+def prefetch_to_device(iterator, mesh, depth: int = 2):
+    """Background-thread prefetcher: host batches -> mesh-sharded device
+    arrays, ``depth`` batches ahead (the jax.device_put analog of the
+    reference CUDA-stream data_prefetcher, main_ft_mp.py:313-352)."""
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    sentinel = object()
+    err = []
+
+    def worker():
+        try:
+            for batch in iterator:
+                q.put(shard_batch(mesh, batch))
+        except Exception as e:  # surface loader errors on the main thread
+            err.append(e)
+        finally:
+            q.put(sentinel)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            if err:
+                raise err[0]
+            return
+        yield item

@@ -1,0 +1,56 @@
+"""Synthetic video dataset — deterministic, dependency-free.
+
+Used by tests, `bench.py`, and smoke runs. Implements the same reader
+protocol as the real datasets:
+
+  num_videos() -> int
+  video_meta(i) -> (nframes, label)
+  read_frames(i, indices) -> uint8 (len(indices), H0, W0, 3)
+
+Frames are cheap procedural patterns that vary smoothly with (video, frame)
+so temporal/pretext structure is non-degenerate.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import numpy as np
+
+
+class SyntheticVideoDataset:
+    def __init__(self, n_videos: int = 256, n_classes: int = 101,
+                 ingest_hw: Tuple[int, int] = (128, 171),
+                 min_frames: int = 40, max_frames: int = 300, seed: int = 0):
+        self.n_videos = n_videos
+        self.n_classes = n_classes
+        self.h0, self.w0 = ingest_hw
+        rng = np.random.default_rng(seed)
+        self._nframes = rng.integers(min_frames, max_frames + 1, n_videos)
+        self._labels = rng.integers(0, n_classes, n_videos)
+        self._phase = rng.uniform(0, 2 * np.pi, (n_videos, 3))
+        yy, xx = np.mgrid[0 : self.h0, 0 : self.w0].astype(np.float32)
+        self._yy = yy / self.h0
+        self._xx = xx / self.w0
+
+    def num_videos(self) -> int:
+        return self.n_videos
+
+    def video_meta(self, i: int) -> Tuple[int, int]:
+        return int(self._nframes[i]), int(self._labels[i])
+
+    def read_frames(self, i: int, indices: Sequence[int]) -> np.ndarray:
+        ph = self._phase[i]
+        t = np.asarray(indices, np.float32)[:, None, None] * 0.15
+        base = np.sin(6.0 * self._xx[None] + t + ph[0]) * np.cos(
+            5.0 * self._yy[None] - 0.5 * t + ph[1]
+        )
+        frames = np.stack(
+            [
+                127 + 100 * base,
+                127 + 100 * np.roll(base, 7, axis=2),
+                127 + 100 * np.sin(4.0 * self._yy[None] + t + ph[2]),
+            ],
+            axis=-1,
+        )
+        return np.clip(frames, 0, 255).astype(np.uint8)

@@ -1,0 +1,128 @@
+"""I3D backbone — Inception-3D with TF-style SAME padding.
+
+Flax/NDHWC reimplementation of reference ``models/BE/i3d_byol.py:99-426``:
+Unit3Dpy (conv + BN + ReLU with TF SAME padding), TF-SAME max pools, Mixed
+inception blocks, global average pool. The reference's id_head
+(projection=False) is AdaptiveAvgPool + flatten + L2-normalize
+(i3d_byol.py:328-341) — the L2 normalization is applied by the BYOL engine
+via ``BackboneSpec.l2_feat``.
+
+NDHWC + XLA note: TF SAME padding is just asymmetric explicit padding on the
+conv, which XLA:TPU fuses into the convolution — no separate pad op like
+torch's ConstantPad3d path.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from cstp_tpu.models.layers import BatchNorm, glorot_conv_init, max_pool_3d_same
+
+
+def _same_pads(kernel, stride):
+    """TF SAME padding (i3d_byol.py:70-86): pad = max(k - s, 0), bottom-heavy."""
+    pads = []
+    for k, s in zip(kernel, stride):
+        pad_along = max(k - s, 0)
+        lo = pad_along // 2
+        pads.append((lo, pad_along - lo))
+    return pads
+
+
+class Unit3D(nn.Module):
+    """conv (SAME, no bias) + BN + ReLU (reference Unit3Dpy,
+    i3d_byol.py:99-168)."""
+
+    features: int
+    kernel: Tuple[int, int, int] = (1, 1, 1)
+    stride: Tuple[int, int, int] = (1, 1, 1)
+    use_bn: bool = True
+    activation: bool = True
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        x = nn.Conv(
+            self.features, self.kernel, self.stride,
+            _same_pads(self.kernel, self.stride), use_bias=False,
+            dtype=self.dtype, param_dtype=jnp.float32,
+            kernel_init=glorot_conv_init(), name="conv",
+        )(x)
+        if self.use_bn:
+            x = BatchNorm(dtype=self.dtype, name="bn")(x, not train)
+        if self.activation:
+            x = nn.relu(x)
+        return x.astype(self.dtype)
+
+
+class Mixed(nn.Module):
+    """4-branch Inception block (i3d_byol.py:186-221)."""
+
+    out_channels: Sequence[int]  # [b0, b1a, b1b, b2a, b2b, b3]
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        c = self.out_channels
+        x0 = Unit3D(c[0], dtype=self.dtype, name="branch_0")(x, train)
+        x1 = Unit3D(c[1], dtype=self.dtype, name="branch_1_0")(x, train)
+        x1 = Unit3D(c[2], (3, 3, 3), dtype=self.dtype, name="branch_1_1")(
+            x1, train
+        )
+        x2 = Unit3D(c[3], dtype=self.dtype, name="branch_2_0")(x, train)
+        x2 = Unit3D(c[4], (3, 3, 3), dtype=self.dtype, name="branch_2_1")(
+            x2, train
+        )
+        x3 = max_pool_3d_same(x, (3, 3, 3), (1, 1, 1))
+        x3 = Unit3D(c[5], dtype=self.dtype, name="branch_3_1")(x3, train)
+        return jnp.concatenate([x0, x1, x2, x3], axis=-1)
+
+
+class I3D(nn.Module):
+    """1024-d pooled feature extractor (i3d_byol.py:223-426, RGB modality).
+
+    The reference finetune variant classifies with an internal
+    AvgPool(2,7,7) + temporal conv head that requires 224^2 inputs
+    (i3d_byol.py:295-306); our CSTPClassify applies the generic
+    L2-norm/BN/linear head on this pooled feature instead — functionally a
+    linear classifier either way (documented deviation).
+    """
+
+    dtype: Any = jnp.bfloat16
+    proj_flag: bool = False  # parity; BYOL uses the raw normalized feature
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        x = x.astype(self.dtype)
+        x = Unit3D(64, (7, 7, 7), (2, 2, 2), dtype=self.dtype,
+                   name="conv3d_1a_7x7")(x, train)
+        x = max_pool_3d_same(x, (1, 3, 3), (1, 2, 2))
+        x = Unit3D(64, dtype=self.dtype, name="conv3d_2b_1x1")(x, train)
+        x = Unit3D(192, (3, 3, 3), dtype=self.dtype, name="conv3d_2c_3x3")(
+            x, train
+        )
+        x = max_pool_3d_same(x, (1, 3, 3), (1, 2, 2))
+        x = Mixed([64, 96, 128, 16, 32, 32], dtype=self.dtype,
+                  name="mixed_3b")(x, train)
+        x = Mixed([128, 128, 192, 32, 96, 64], dtype=self.dtype,
+                  name="mixed_3c")(x, train)
+        x = max_pool_3d_same(x, (3, 3, 3), (2, 2, 2))
+        x = Mixed([192, 96, 208, 16, 48, 64], dtype=self.dtype,
+                  name="mixed_4b")(x, train)
+        x = Mixed([160, 112, 224, 24, 64, 64], dtype=self.dtype,
+                  name="mixed_4c")(x, train)
+        x = Mixed([128, 128, 256, 24, 64, 64], dtype=self.dtype,
+                  name="mixed_4d")(x, train)
+        x = Mixed([112, 144, 288, 32, 64, 64], dtype=self.dtype,
+                  name="mixed_4e")(x, train)
+        x = Mixed([256, 160, 320, 32, 128, 128], dtype=self.dtype,
+                  name="mixed_4f")(x, train)
+        x = max_pool_3d_same(x, (2, 2, 2), (2, 2, 2))
+        x = Mixed([256, 160, 320, 32, 128, 128], dtype=self.dtype,
+                  name="mixed_5b")(x, train)
+        x = Mixed([384, 192, 384, 48, 128, 128], dtype=self.dtype,
+                  name="mixed_5c")(x, train)
+        return jnp.mean(x.astype(jnp.float32), axis=(1, 2, 3))  # (B, 1024)

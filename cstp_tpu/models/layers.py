@@ -1,0 +1,265 @@
+"""Shared Flax building blocks for the CSTP backbones.
+
+Layout is NDHWC (channels last) — the native TPU conv layout — whereas the
+reference is NCDHW torch. Convs/matmuls run in ``dtype`` (bfloat16 by
+default); BatchNorm statistics and all parameters stay float32.
+
+Initialization parity with the reference (``models/pace/r21d_byol.py:301-329``):
+the reference glorot-uniform-initializes EVERY weight, including BatchNorm
+scales (giving BN scales ~U(-sqrt(6/C), sqrt(6/C)) — tiny and random-sign,
+which materially changes early training dynamics, so we reproduce it).
+Linear/conv biases keep torch defaults (uniform ±1/sqrt(fan_in); convs here
+are bias-free as in the reference).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+
+def bn_glorot_scale_init(key, shape, dtype=jnp.float32):
+    """Reference `_glorot_uniform` on a 1-D tensor: fan_in = fan_out = C/2
+    -> bound sqrt(6 / C) (r21d_byol.py:311-329)."""
+    c = shape[-1]
+    bound = math.sqrt(6.0 / float(c))
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+def torch_linear_bias_init(fan_in: int) -> Callable:
+    bound = 1.0 / math.sqrt(fan_in) if fan_in > 0 else 0.0
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+def glorot_conv_init():
+    """Glorot uniform over conv kernels (HWIO-style fans) — matches the
+    reference's custom _glorot_uniform on torch conv weights."""
+    return nn.initializers.glorot_uniform()
+
+
+class BatchNorm(nn.Module):
+    """BatchNorm with torch semantics (momentum 0.1 torch == 0.9 flax,
+    eps 1e-5) and the reference's glorot-uniform scale init.
+
+    Batch statistics are computed over the GLOBAL batch: under jit/GSPMD a
+    mean over a sharded batch axis lowers to a cross-replica reduction, so
+    this is *correct* synchronous BN — unlike the reference, whose SyncBN
+    uses a single-rank process group and never actually syncs
+    (models/model.py:86-100).
+    """
+
+    use_running_average: Optional[bool] = None
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, use_running_average: Optional[bool] = None):
+        ura = nn.merge_param(
+            "use_running_average", self.use_running_average, use_running_average
+        )
+        return nn.BatchNorm(
+            use_running_average=ura,
+            momentum=0.9,
+            epsilon=1e-5,
+            dtype=jnp.float32,  # stats & normalization in f32
+            param_dtype=jnp.float32,
+            scale_init=bn_glorot_scale_init,
+            bias_init=nn.initializers.zeros,
+            name="bn",
+        )(x.astype(jnp.float32))
+
+
+class Conv3d(nn.Module):
+    """3D conv on NDHWC with explicit torch-style symmetric padding."""
+
+    features: int
+    kernel: Tuple[int, int, int]
+    stride: Tuple[int, int, int] = (1, 1, 1)
+    padding: Tuple[int, int, int] = (0, 0, 0)
+    use_bias: bool = False
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        pad = [(p, p) for p in self.padding]
+        return nn.Conv(
+            features=self.features,
+            kernel_size=self.kernel,
+            strides=self.stride,
+            padding=pad,
+            use_bias=self.use_bias,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            kernel_init=glorot_conv_init(),
+        )(x)
+
+
+def r21d_intermediate_channels(
+    in_channels: int, out_channels: int, kernel: Tuple[int, int, int]
+) -> int:
+    """Mid-channel count of the factorized (2+1)D conv — paper §3.5 formula
+    as coded at reference r21d_byol.py:74-76."""
+    kt, kh, kw = kernel
+    num = kt * kh * kw * in_channels * out_channels
+    den = kh * kw * in_channels + kt * out_channels
+    return int(math.floor(num / den))
+
+
+class SpatioTemporalConv(nn.Module):
+    """Factorized (2+1)D conv: spatial (1,k,k) conv -> BN -> ReLU ->
+    temporal (k,1,1) conv (reference r21d_byol.py:38-97).
+
+    The BN+ReLU lives INSIDE the factorized conv; callers add their own
+    post-BN/ReLU exactly like the reference modules do.
+    """
+
+    features: int
+    kernel: Tuple[int, int, int]
+    stride: Tuple[int, int, int] = (1, 1, 1)
+    padding: Tuple[int, int, int] = (0, 0, 0)
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        kt, kh, kw = self.kernel
+        st, sh, sw = self.stride
+        pt, ph, pw = self.padding
+        in_ch = x.shape[-1]
+        mid = r21d_intermediate_channels(in_ch, self.features, self.kernel)
+        x = Conv3d(mid, (1, kh, kw), (1, sh, sw), (0, ph, pw),
+                   dtype=self.dtype, name="spatial_conv")(x)
+        x = BatchNorm(dtype=self.dtype, name="bn")(x, not train)
+        x = nn.relu(x).astype(self.dtype)
+        x = Conv3d(self.features, (kt, 1, 1), (st, 1, 1), (pt, 0, 0),
+                   dtype=self.dtype, name="temporal_conv")(x)
+        return x
+
+
+class MLPHead(nn.Module):
+    """Linear -> BN1d -> ReLU -> Linear.
+
+    Covers the reference Projector/Predictor (4096 hidden, r21d_byol.py:232-257)
+    and the four pretext heads (1024/512 hidden, r21d_byol.py:276-291).
+    """
+
+    hidden: int
+    out: int
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        in_dim = x.shape[-1]
+        x = nn.Dense(
+            self.hidden,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            kernel_init=nn.initializers.glorot_uniform(),
+            bias_init=torch_linear_bias_init(in_dim),
+            name="fc1",
+        )(x)
+        x = BatchNorm(dtype=self.dtype, name="bn")(x, not train)
+        x = nn.relu(x).astype(self.dtype)
+        x = nn.Dense(
+            self.out,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            kernel_init=nn.initializers.glorot_uniform(),
+            bias_init=torch_linear_bias_init(self.hidden),
+            name="fc2",
+        )(x)
+        return x
+
+
+def l2_normalize(x, axis=-1, eps=1e-12):
+    """torch F.normalize(p=2) semantics (clamps the norm, not norm+eps)."""
+    n = jnp.linalg.norm(x, axis=axis, keepdims=True)
+    return x / jnp.maximum(n, eps)
+
+
+class PretextHead(nn.Module):
+    """Pretext classification head: 'mlp' = Linear-BN-ReLU-Linear (r21d/s3d
+    families, r21d_byol.py:276-291) or 'linear' = single Linear (c3d/r3d/i3d
+    families, c3d_byol.py:150-153)."""
+
+    style: str
+    hidden: int
+    out: int
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        if self.style == "mlp":
+            return MLPHead(self.hidden, self.out, dtype=self.dtype,
+                           name="mlp")(x, train)
+        in_dim = x.shape[-1]
+        return nn.Dense(
+            self.out,
+            dtype=jnp.float32,
+            param_dtype=jnp.float32,
+            kernel_init=nn.initializers.glorot_uniform(),
+            bias_init=torch_linear_bias_init(in_dim),
+            name="fc",
+        )(x.astype(jnp.float32))
+
+
+def max_pool_3d(x, kernel: Tuple[int, int, int], stride: Tuple[int, int, int],
+                padding: Tuple[int, int, int] = (0, 0, 0)):
+    """torch nn.MaxPool3d on NDHWC (symmetric padding, -inf identity).
+
+    For the post-ReLU activations all reference models pool, -inf padding is
+    equivalent to the zero-padding I3D's TF-SAME pooling uses.
+    """
+    dims = (1, *kernel, 1)
+    strides = (1, *stride, 1)
+    pads = ((0, 0), *[(p, p) for p in padding], (0, 0))
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max, dims, strides, pads
+    )
+
+
+def max_pool_3d_same(x, kernel: Tuple[int, int, int],
+                     stride: Tuple[int, int, int]):
+    """TF-SAME max pool (I3D MaxPool3dTFPadding, i3d_byol.py:170-184):
+    asymmetric pad so out = ceil(in / stride)."""
+    pads = [(0, 0)]
+    for k, s in zip(kernel, stride):
+        pad_along = max(k - s, 0)
+        lo = pad_along // 2
+        pads.append((lo, pad_along - lo))
+    pads.append((0, 0))
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max, (1, *kernel, 1), (1, *stride, 1), pads
+    )
+
+
+class SelfGating(nn.Module):
+    """S3D-G feature gating: sigmoid(fc(mean over THW)) * x
+    (s3dg.py:100-111)."""
+
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        avg = jnp.mean(x.astype(jnp.float32), axis=(1, 2, 3))  # (B, C)
+        w = nn.Dense(
+            c,
+            dtype=jnp.float32,
+            param_dtype=jnp.float32,
+            kernel_init=nn.initializers.glorot_uniform(),
+            bias_init=torch_linear_bias_init(c),
+            name="fc",
+        )(avg)
+        w = jax.nn.sigmoid(w)
+        return (x.astype(jnp.float32) * w[:, None, None, None, :]).astype(
+            x.dtype
+        )

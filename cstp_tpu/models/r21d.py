@@ -1,0 +1,121 @@
+"""R(2+1)D backbone — the flagship CSTP encoder.
+
+TPU-native Flax reimplementation of the reference ``R2Plus1DNet``
+(``models/pace/r21d_byol.py:184-229``): a 5-stage ResNet of factorized
+(2+1)D convolutions, ``layer_sizes`` blocks per stage, global average pool
+to a 512-d feature. NDHWC layout, bf16 compute, f32 params/BN.
+
+Depth map (reference passes layer_sizes=(1,1,1,1), "depth" flag 1):
+  depth 1  -> (1, 1, 1, 1)   (the paper/reference config)
+  depth 18 -> (2, 2, 2, 2)
+  depth 34 -> (3, 4, 6, 3)
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from cstp_tpu.models.layers import (
+    BatchNorm,
+    MLPHead,
+    SpatioTemporalConv,
+)
+
+LAYER_SIZES = {1: (1, 1, 1, 1), 10: (1, 1, 1, 1), 18: (2, 2, 2, 2), 34: (3, 4, 6, 3)}
+
+
+class SpatioTemporalResBlock(nn.Module):
+    """conv -> BN -> ReLU -> conv -> BN -> (+shortcut) -> ReLU
+    (reference r21d_byol.py:100-148)."""
+
+    features: int
+    downsample: bool = False
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        stride = (2, 2, 2) if self.downsample else (1, 1, 1)
+        res = SpatioTemporalConv(
+            self.features, (3, 3, 3), stride, (1, 1, 1),
+            dtype=self.dtype, name="conv1",
+        )(x, train)
+        res = BatchNorm(dtype=self.dtype, name="bn1")(res, not train)
+        res = nn.relu(res).astype(self.dtype)
+        res = SpatioTemporalConv(
+            self.features, (3, 3, 3), (1, 1, 1), (1, 1, 1),
+            dtype=self.dtype, name="conv2",
+        )(res, train)
+        res = BatchNorm(dtype=self.dtype, name="bn2")(res, not train)
+
+        if self.downsample:
+            x = SpatioTemporalConv(
+                self.features, (1, 1, 1), (2, 2, 2), (0, 0, 0),
+                dtype=self.dtype, name="downsampleconv",
+            )(x, train)
+            x = BatchNorm(dtype=self.dtype, name="downsamplebn")(x, not train)
+
+        return nn.relu(x.astype(jnp.float32) + res.astype(jnp.float32)).astype(
+            self.dtype
+        )
+
+
+class SpatioTemporalResLayer(nn.Module):
+    """First block (optionally downsampling) + (layer_size-1) identity blocks
+    (reference r21d_byol.py:151-181)."""
+
+    features: int
+    layer_size: int
+    downsample: bool = False
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        x = SpatioTemporalResBlock(
+            self.features, self.downsample, dtype=self.dtype, name="block1"
+        )(x, train)
+        for i in range(self.layer_size - 1):
+            x = SpatioTemporalResBlock(
+                self.features, False, dtype=self.dtype, name=f"block{i + 2}"
+            )(x, train)
+        return x
+
+
+class R2Plus1DNet(nn.Module):
+    """Returns 512-d pooled features; with ``proj_flag`` also the 512-d BYOL
+    projection (reference r21d_byol.py:184-229)."""
+
+    layer_sizes: Tuple[int, int, int, int] = (1, 1, 1, 1)
+    proj_flag: bool = False
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        # stem: (3,7,7) stride (1,2,2) factorized conv + BN + ReLU
+        x = x.astype(self.dtype)
+        x = SpatioTemporalConv(
+            64, (3, 7, 7), (1, 2, 2), (1, 3, 3), dtype=self.dtype, name="conv1"
+        )(x, train)
+        x = BatchNorm(dtype=self.dtype, name="bn1")(x, not train)
+        x = nn.relu(x).astype(self.dtype)
+        x = SpatioTemporalResLayer(
+            64, self.layer_sizes[0], False, dtype=self.dtype, name="conv2"
+        )(x, train)
+        x = SpatioTemporalResLayer(
+            128, self.layer_sizes[1], True, dtype=self.dtype, name="conv3"
+        )(x, train)
+        x = SpatioTemporalResLayer(
+            256, self.layer_sizes[2], True, dtype=self.dtype, name="conv4"
+        )(x, train)
+        x = SpatioTemporalResLayer(
+            512, self.layer_sizes[3], True, dtype=self.dtype, name="conv5"
+        )(x, train)
+        # global average pool over (T, H, W) -> (B, 512), f32 like the torch
+        # AdaptiveAvgPool3d output feeding f32 heads
+        feat = jnp.mean(x.astype(jnp.float32), axis=(1, 2, 3))
+        if self.proj_flag:
+            proj = MLPHead(4096, 512, dtype=self.dtype, name="project")(feat, train)
+            return feat, proj
+        return feat

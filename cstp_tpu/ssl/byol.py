@@ -1,0 +1,182 @@
+"""BYOL engine: online/target towers, EMA momentum update, pretext heads.
+
+Functional reimplementation of the reference BYOL wrappers
+(``models/pace/r21d_byol.py:260-401``, ``models/coclr/s3dg.py:336-538``,
+``models/pace/c3d_byol.py:138-262``, ``models/BE/r3d_byol.py:237-432``,
+``models/BE/i3d_byol.py:616-799``) generalized over a
+:class:`~cstp_tpu.models.BackboneSpec`:
+
+* ``CSTPPretrain`` — one Flax module holding online_net, target_net,
+  predictor, and the four pretext heads. Its ``__call__`` is the reference
+  ``forward(o_type='loss_com')``: two online passes, predictor, two
+  stop-gradient target passes, BYOL regression loss, six pretext logits.
+  Families WITH a projector (r21d, s3d) regress predictor(projection)
+  against the target projection; families WITHOUT one (c3d, r3d, i3d)
+  regress predictor(feature) against the target feature.
+* ``ema_update`` — the momentum update of the target tower
+  (r21d_byol.py:331-340), called by the train step BEFORE the forward pass
+  (the reference updates inside forward, pre-target-encode). torch's
+  ``parameters()`` excludes BN running stats, so EMA touches only params.
+* ``CSTPClassify`` — finetune/test variant: backbone feature ->
+  L2-normalize -> BN -> linear classifier (r21d_byol.py:394-399).
+
+Gradient flow matches the reference: target outputs are stop-gradient'ed and
+the optimizer is masked off the ``target_net`` subtree (reference target
+params have requires_grad=False — no grads, no weight decay).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from cstp_tpu.models import backbone_spec, make_backbone
+from cstp_tpu.models.layers import (
+    BatchNorm,
+    MLPHead,
+    PretextHead,
+    l2_normalize,
+    torch_linear_bias_init,
+)
+
+
+def byol_regression_loss(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """2 - 2*cos(x, y), per sample (reference `_loss_fn`, r21d_byol.py:346-349)."""
+    x = l2_normalize(x.astype(jnp.float32))
+    y = l2_normalize(y.astype(jnp.float32))
+    return 2.0 - 2.0 * jnp.sum(x * y, axis=-1)
+
+
+def cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+    """Mean softmax cross entropy with integer labels (torch CrossEntropyLoss)."""
+    logits = logits.astype(jnp.float32)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    return -jnp.mean(jnp.take_along_axis(logp, labels[:, None], axis=-1))
+
+
+def ema_update(target_params, online_params, momentum: float):
+    """target <- m * target + (1 - m) * online (r21d_byol.py:335-337)."""
+    return jax.tree_util.tree_map(
+        lambda t, o: t * momentum + o.astype(t.dtype) * (1.0 - momentum),
+        target_params,
+        online_params,
+    )
+
+
+def _feat_and_proj(out, spec):
+    """Normalize backbone output to (feat, byol_embedding)."""
+    if isinstance(out, tuple):
+        feat, proj = out
+    else:
+        feat = proj = out
+    if spec.l2_feat:  # i3d id_head L2-normalizes (i3d_byol.py:328-341)
+        feat = l2_normalize(feat)
+        proj = feat if not isinstance(out, tuple) else proj
+    return feat, proj
+
+
+class CSTPPretrain(nn.Module):
+    """Pretraining model: BYOL towers + 4 pretext heads (spec-driven)."""
+
+    backbone: str = "r21d"
+    depth: int = 1
+    dtype: Any = jnp.bfloat16
+
+    def setup(self):
+        spec = backbone_spec(self.backbone, self.depth)
+        self.spec = spec
+        use_proj = spec.proj_dim is not None
+        self.online_net = make_backbone(
+            self.backbone, self.depth, dtype=self.dtype, proj_flag=use_proj,
+            name="online_net",
+        )
+        self.target_net = make_backbone(
+            self.backbone, self.depth, dtype=self.dtype, proj_flag=use_proj,
+            name="target_net",
+        )
+        self.predictor = MLPHead(spec.pred_hidden, spec.pred_dim,
+                                 dtype=self.dtype, name="predictor")
+        f = spec.feat_dim
+        self.overlap_spa = PretextHead(spec.head_style, 2 * f, spec.n_spa,
+                                       dtype=self.dtype, name="overlap_spa")
+        self.overlap_tem = PretextHead(spec.head_style, 2 * f, spec.n_tem,
+                                       dtype=self.dtype, name="overlap_tem")
+        self.pb_cls = PretextHead(spec.head_style, f, spec.n_pb,
+                                  dtype=self.dtype, name="pb_cls")
+        self.rotate_cls = PretextHead(spec.head_style, f, spec.n_rot,
+                                      dtype=self.dtype, name="rotate_cls")
+
+    def __call__(self, x1, x2, train: bool = True):
+        """o_type='loss_com' forward (r21d_byol.py:358-382).
+
+        Returns (byol_loss_mean, (pred_spa, pred_tem, pb1, pb2, rot1, rot2)).
+        """
+        spec = self.spec
+        feat1, emb1 = _feat_and_proj(self.online_net(x1, train), spec)
+        feat2, emb2 = _feat_and_proj(self.online_net(x2, train), spec)
+        pred1 = self.predictor(emb1, train)
+        pred2 = self.predictor(emb2, train)
+
+        _, temb1 = _feat_and_proj(self.target_net(x1, train), spec)
+        _, temb2 = _feat_and_proj(self.target_net(x2, train), spec)
+        temb1 = jax.lax.stop_gradient(temb1)
+        temb2 = jax.lax.stop_gradient(temb2)
+
+        loss = byol_regression_loss(pred1, temb2) + byol_regression_loss(
+            pred2, temb1
+        )
+
+        feat_cat = jnp.concatenate([feat1, feat2], axis=-1)
+        out = (
+            self.overlap_spa(feat_cat, train),
+            self.overlap_tem(feat_cat, train),
+            self.pb_cls(feat1, train),
+            self.pb_cls(feat2, train),
+            self.rotate_cls(feat1, train),
+            self.rotate_cls(feat2, train),
+        )
+        return jnp.mean(loss), out
+
+    def embed(self, x, train: bool = False):
+        """Online-tower features (for probing/eval)."""
+        feat, _ = _feat_and_proj(self.online_net(x, train), self.spec)
+        return feat
+
+
+class CSTPClassify(nn.Module):
+    """Finetune/test model (reference pretrain=False branch,
+    r21d_byol.py:293-299, forward 394-399)."""
+
+    backbone: str = "r21d"
+    depth: int = 1
+    num_classes: int = 101
+    cls_bn: bool = True
+    dtype: Any = jnp.bfloat16
+
+    def setup(self):
+        spec = backbone_spec(self.backbone, self.depth)
+        self.spec = spec
+        self.online_net = make_backbone(
+            self.backbone, self.depth, dtype=self.dtype, proj_flag=False,
+            name="online_net",
+        )
+        if self.cls_bn:
+            self.cls_bn_mod = BatchNorm(dtype=self.dtype, name="cls_bn")
+        self.classify = nn.Dense(
+            self.num_classes,
+            dtype=jnp.float32,
+            param_dtype=jnp.float32,
+            kernel_init=nn.initializers.glorot_uniform(),
+            bias_init=torch_linear_bias_init(spec.feat_dim),
+            name="classify",
+        )
+
+    def __call__(self, x, train: bool = True):
+        feat, _ = _feat_and_proj(self.online_net(x, train), self.spec)
+        feat = l2_normalize(feat)
+        if self.cls_bn:
+            feat = self.cls_bn_mod(feat, not train)
+        return self.classify(feat.astype(jnp.float32))

@@ -1,0 +1,184 @@
+"""Finetune / validation / video-level test engine.
+
+Mirrors reference ``main_ft_mp.py`` (train/validation loops, plateau LR,
+best-checkpoint retention) and ``test.py`` (sliding-window mean-logit
+video-level eval) as jitted steps + thin host loops.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from cstp_tpu.augment.pipeline import (
+    eval_augment_batch,
+    finetune_train_augment_batch,
+)
+from cstp_tpu.config import Config
+from cstp_tpu.pretext.sampling import strided_frame_indices, wraparound_frame_indices
+from cstp_tpu.ssl.byol import CSTPClassify, cross_entropy
+from cstp_tpu.train import optim
+from cstp_tpu.train.pretrain import TrainState
+
+
+def create_classify_model(config: Config, num_classes: int) -> CSTPClassify:
+    return CSTPClassify(
+        backbone=config.model_name,
+        depth=config.model_depth,
+        num_classes=num_classes,
+        cls_bn=config.cls_bn,
+        dtype=jnp.dtype(config.compute_dtype),
+    )
+
+
+def finetune_frozen_prefixes(config: Config) -> Tuple[str, ...]:
+    """ft_begin_index semantics (reference r21d_byol.py:10-35 +
+    models/model.py:122-128): ft_all(0) trains everything; ft_fc(5) trains
+    only the classifier (+cls_bn); 1..4 trains layer{i}..layer4 + classifier.
+
+    Our r21d stage names: conv1/bn1 = stem, conv2..conv5 = layer1..layer4.
+    """
+    idx = config.ft_begin_index
+    if config.task == "ft_fc":
+        idx = 5
+    elif config.task == "ft_all":
+        idx = 0
+    if idx == 0:
+        return ()
+    if idx >= 5:
+        return ("online_net",)
+    # freeze stem + stages below layer{idx}
+    frozen = ["online_net/conv1", "online_net/bn1"]
+    for i in range(1, idx):
+        frozen.append(f"online_net/conv{i + 1}")
+    return tuple(frozen)
+
+
+def create_finetune_state(
+    config: Config, rng: jax.Array, num_classes: int
+) -> Tuple[CSTPClassify, TrainState, optax.GradientTransformation]:
+    model = create_classify_model(config, num_classes)
+    t, s = config.sample_duration, config.sample_size
+    dummy = jnp.zeros((2, t, s, s, 3), jnp.dtype(config.compute_dtype))
+    variables = model.init(rng, dummy, train=True)
+    params = variables["params"]
+    frozen = finetune_frozen_prefixes(config)
+    labels = optim.param_labels(params, frozen_prefixes=frozen) if frozen else None
+    tx = optim.make_optimizer(
+        config.optimizer,
+        momentum=config.momentum,
+        weight_decay=config.weight_decay,
+        nesterov=config.nesterov,
+        clip_grad_norm=None,  # finetune loop does not clip (main_ft_mp.py:211-213)
+        labels=labels,
+    )
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(params),
+    )
+    return model, state, tx
+
+
+def make_finetune_step(model: CSTPClassify, tx, config: Config):
+    """jitted step(state, rng, batch{frames,labels}, lr) -> (state, metrics).
+    Augmentation (RandomSizedCrop + ColorJitter@0.3 + tf-norm) fused in."""
+    sample_size = config.sample_size
+    dtype = jnp.dtype(config.compute_dtype)
+
+    def loss_fn(params, batch_stats, x, y):
+        logits, mutated = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            x, train=True, mutable=["batch_stats"],
+        )
+        loss = cross_entropy(logits, y)
+        acc = jnp.mean((jnp.argmax(logits, -1) == y).astype(jnp.float32))
+        return loss, (acc, mutated["batch_stats"])
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(state: TrainState, rng, batch, lr):
+        x = finetune_train_augment_batch(
+            rng, batch["frames"], sample_size=sample_size
+        ).astype(dtype)
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (loss, (acc, new_stats)), grads = grad_fn(
+            state.params, state.batch_stats, x, batch["labels"]
+        )
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optim.apply_lr(state.params, updates, lr)
+        return (
+            state.replace(step=state.step + 1, params=new_params,
+                          batch_stats=new_stats, opt_state=new_opt),
+            {"loss": loss, "acc": acc},
+        )
+
+    return step
+
+
+def make_eval_step(model: CSTPClassify, config: Config):
+    """jitted eval step: deterministic scale+center-crop, running stats."""
+    sample_size = config.sample_size
+    dtype = jnp.dtype(config.compute_dtype)
+
+    @jax.jit
+    def step(state: TrainState, batch):
+        x = eval_augment_batch(batch["frames"], sample_size=sample_size).astype(dtype)
+        logits = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            x, train=False,
+        )
+        loss = cross_entropy(logits, batch["labels"])
+        acc = jnp.mean(
+            (jnp.argmax(logits, -1) == batch["labels"]).astype(jnp.float32)
+        )
+        return {"loss": loss, "acc": acc, "logits": logits}
+
+    return step
+
+
+def make_logits_step(model: CSTPClassify, config: Config):
+    """jitted window-batch forward for video-level test (test.py:78-85):
+    takes (N, T, H0, W0, 3) windows of ONE video, returns (N, C) logits."""
+    sample_size = config.sample_size
+    dtype = jnp.dtype(config.compute_dtype)
+
+    @jax.jit
+    def step(state: TrainState, windows):
+        x = eval_augment_batch(windows, sample_size=sample_size).astype(dtype)
+        return model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            x, train=False,
+        )
+
+    return step
+
+
+def sliding_window_indices(nframes: int, sample_duration: int, pb_rate: int,
+                           max_windows: int = 0) -> np.ndarray:
+    """Non-overlapping test windows + one tail window
+    (reference ``_get_test_clip``, datasets.py:1062-1097): windows of span
+    ``(L-1)*pb_rate+1`` starting at 0, span, 2*span, ...; a final window
+    anchored at the video end. Returns (N, L) 0-based frame indices."""
+    span = (sample_duration - 1) * pb_rate + 1
+    out = []
+    if nframes < span:
+        idx = wraparound_frame_indices(nframes, sample_duration, pb_rate)
+        rows = [idx]
+        if max_windows:
+            rows = rows[:max_windows]
+        return np.stack(rows)
+    start = 0
+    while start + span <= nframes:
+        out.append(strided_frame_indices(start, sample_duration, pb_rate))
+        start += span
+    if start < nframes:  # tail window anchored at the end
+        out.append(strided_frame_indices(nframes - span, sample_duration, pb_rate))
+    if max_windows:
+        out = out[:max_windows]
+    return np.stack(out)

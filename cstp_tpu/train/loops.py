@@ -1,0 +1,322 @@
+"""Host-side epoch loops: pretrain / finetune / video-level test.
+
+These are the runtime equivalents of reference ``main_byol.py:21-140``
+(train_BYOL), ``main_ft_mp.py:179-310`` (train/validation) and
+``test.py:23-98``, built on the jitted steps. Device work is dispatched
+asynchronously; metric scalars are fetched at epoch end.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cstp_tpu import ckpt as ckpt_lib
+from cstp_tpu.config import Config
+from cstp_tpu.data.loader import (
+    FinetuneLoader,
+    PretrainLoader,
+    prefetch_to_device,
+)
+from cstp_tpu.parallel import create_mesh, replicate
+from cstp_tpu.train import optim
+from cstp_tpu.train.finetune import (
+    create_finetune_state,
+    make_eval_step,
+    make_finetune_step,
+    make_logits_step,
+    sliding_window_indices,
+)
+from cstp_tpu.train.meters import AverageMeter, Logger, StepTimer
+from cstp_tpu.train.pretrain import create_pretrain_state, make_pretrain_step
+
+
+def build_dataset(config: Config, data_type: str):
+    if config.data_backend == "synthetic":
+        from cstp_tpu.data.synthetic import SyntheticVideoDataset
+
+        return SyntheticVideoDataset(
+            n_videos=config.synthetic_len, n_classes=config.n_classes,
+            ingest_hw=(128, 171),
+        )
+    if config.data_backend == "framedir":
+        from cstp_tpu.data.framedir import FrameDirDataset
+
+        return FrameDirDataset(
+            config.frame_dir, config.annotation_path, config.split,
+            data_type=data_type,
+        )
+    if config.data_backend == "packed":
+        path = config.lmdb_path
+        if data_type != "train":
+            alt = path.replace("train", "val" if data_type == "val" else "test")
+            if os.path.exists(alt):
+                path = alt
+        try:  # native C++ reader (libjpeg + thread pool), python fallback
+            from cstp_tpu.data.native_reader import NativePackedDataset
+
+            return NativePackedDataset(path, n_threads=config.n_workers)
+        except Exception:
+            from cstp_tpu.data.packed import PackedDataset
+
+            return PackedDataset(path)
+    raise ValueError(f"unknown data_backend {config.data_backend!r}")
+
+
+def _log_dir(config: Config) -> str:
+    # reference layout: result_path/dataset/task (main_byol.py:177)
+    d = os.path.join(config.result_path, config.dataset, config.task)
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def run_pretrain(config: Config, max_steps_per_epoch: int = 0) -> Dict:
+    """Pretrain driver (reference main_byol.py main_worker + train_BYOL)."""
+    assert config.task in ("loss_com", "r_byol", "resume")
+    mesh = create_mesh(config.mesh_shape, config.mesh_axes)
+    dataset = build_dataset(config, "train")
+    per_host_batch = config.batch_size // jax.process_count()
+    loader = PretrainLoader(
+        dataset, per_host_batch, config.sample_duration,
+        seed=config.manual_seed, num_workers=config.n_workers,
+        process_index=jax.process_index(), process_count=jax.process_count(),
+    )
+    rng = jax.random.PRNGKey(config.manual_seed)
+    model, state, tx = create_pretrain_state(config, rng)
+    step_fn = make_pretrain_step(model, tx, config)
+
+    log_dir = _log_dir(config)
+    begin_epoch = 1
+    if config.task == "resume":
+        begin_epoch = ckpt_lib.epoch_from_name(config.resume_md_path)
+        tree, meta = ckpt_lib.restore_checkpoint(
+            config.resume_md_path,
+            {"params": state.params, "batch_stats": state.batch_stats,
+             "opt_state": state.opt_state, "step": state.step},
+        )
+        assert meta["arch"] == config.arch, (meta["arch"], config.arch)
+        state = state.replace(
+            params=tree["params"], batch_stats=tree["batch_stats"],
+            opt_state=tree["opt_state"], step=jnp.asarray(tree["step"]),
+        )
+    state = replicate(mesh, state)
+
+    logger = Logger(
+        os.path.join(
+            log_dir,
+            f"{config.dataset}_train_clip{config.sample_duration}"
+            f"model{config.model_name}{config.model_depth}.log",
+        ),
+        ["epoch", "loss", "loss_byol", "loss_pred_spa", "loss_pred_tem",
+         "loss_pred_pb", "loss_pred_rot", "acc", "lr"],
+        overlay=(config.task != "resume"),
+    )
+    lr_fn = optim.cosine_warmup_restarts(
+        config.learning_rate, config.n_epochs, 0.5 * config.n_epochs,
+        min_lr=1e-5, gamma=0.5,
+    )
+    key = jax.random.PRNGKey(config.manual_seed + 17)
+    history = []
+    for epoch in range(begin_epoch, config.n_epochs + 1):
+        lr = jnp.asarray(lr_fn(epoch - 1), jnp.float32)
+        timer = StepTimer()
+        epoch_metrics = []
+        it = prefetch_to_device(loader.epoch(epoch), mesh,
+                                depth=config.prefetch_depth)
+        for i, batch in enumerate(it):
+            timer.data_tick()
+            key, sub = jax.random.split(key)
+            state, metrics = step_fn(state, sub, batch, lr)
+            epoch_metrics.append(metrics)
+            timer.batch_tick()
+            if max_steps_per_epoch and i + 1 >= max_steps_per_epoch:
+                break
+        fetched = jax.device_get(epoch_metrics)
+        avg = {
+            k: float(np.mean([m[k] for m in fetched])) for k in fetched[0]
+        } if fetched else {}
+        row = {
+            "epoch": epoch,
+            "loss": avg.get("loss"),
+            "loss_byol": avg.get("loss_byol"),
+            "loss_pred_spa": avg.get("loss_pred_spa"),
+            "loss_pred_tem": avg.get("loss_pred_tem"),
+            "loss_pred_pb": avg.get("loss_pred_pb"),
+            "loss_pred_rot": avg.get("loss_pred_rot"),
+            "acc": None,
+            "lr": float(f"{float(lr):.5f}"),
+        }
+        if jax.process_index() == 0:
+            logger.log(row)
+        history.append(row)
+        if jax.process_index() == 0 and epoch % config.ckpt_every_epochs == 0:
+            ckpt_lib.save_checkpoint(
+                os.path.join(log_dir, ckpt_lib.ckpt_name(epoch)),
+                {"params": state.params, "batch_stats": state.batch_stats,
+                 "opt_state": state.opt_state, "step": state.step},
+                meta={"arch": config.arch, "epoch": epoch + 1},
+            )
+    logger.close()
+    return {"history": history, "state": state, "model": model}
+
+
+def run_finetune(config: Config, max_steps_per_epoch: int = 0) -> Dict:
+    """Finetune driver (reference main_ft_mp.py): per-epoch train + val,
+    ReduceLROnPlateau on val loss, best-val-only checkpoint retention."""
+    assert config.task in ("ft_fc", "ft_all", "scratch", "resume")
+    mesh = create_mesh(config.mesh_shape, config.mesh_axes)
+    train_ds = build_dataset(config, "train")
+    val_ds = build_dataset(config, "val")
+    per_host_batch = config.batch_size // jax.process_count()
+    train_loader = FinetuneLoader(
+        train_ds, per_host_batch, config.sample_duration, config.pb_rate,
+        train=True, seed=config.manual_seed, num_workers=config.n_workers,
+        process_index=jax.process_index(), process_count=jax.process_count(),
+    )
+    val_loader = FinetuneLoader(
+        val_ds, per_host_batch, config.sample_duration, config.pb_rate,
+        train=False, seed=config.manual_seed, num_workers=config.n_workers,
+        drop_last=True,
+        process_index=jax.process_index(), process_count=jax.process_count(),
+    )
+    rng = jax.random.PRNGKey(config.manual_seed)
+    num_classes = config.n_finetune_classes or config.n_classes
+    model, state, tx = create_finetune_state(config, rng, num_classes)
+
+    # load pretrained backbone (partial, by-name; models/model.py:131-134)
+    if config.task in ("ft_fc", "ft_all") and config.pretrained_path:
+        tree, meta = ckpt_lib.restore_checkpoint(
+            config.pretrained_path,
+            {"params": state.params, "batch_stats": state.batch_stats},
+        )
+        arch = str(meta.get("arch", config.arch))
+        assert config.arch in arch or arch in config.arch, (arch, config.arch)
+        state = state.replace(params=tree["params"],
+                              batch_stats=tree["batch_stats"])
+    state = replicate(mesh, state)
+
+    step_fn = make_finetune_step(model, tx, config)
+    eval_fn = make_eval_step(model, config)
+    log_dir = _log_dir(config)
+    stem = (f"{config.dataset}_clip{config.sample_duration}"
+            f"model{config.model_name}{config.model_depth}.log")
+    train_logger = Logger(os.path.join(log_dir, "train_" + stem),
+                          ["epoch", "loss", "acc", "lr"], overlay=True)
+    val_logger = Logger(os.path.join(log_dir, "val_" + stem),
+                        ["epoch", "loss", "acc"], overlay=True)
+    plateau = optim.ReduceLROnPlateau(lr=config.learning_rate,
+                                      patience=config.lr_patience)
+    key = jax.random.PRNGKey(config.manual_seed + 23)
+    best = {"acc": -1.0, "path": None, "epoch": 0}
+    history = []
+    for epoch in range(1, config.n_epochs + 1):
+        lr = jnp.asarray(plateau.lr, jnp.float32)
+        train_ms = []
+        it = prefetch_to_device(train_loader.epoch(epoch), mesh,
+                                depth=config.prefetch_depth)
+        for i, batch in enumerate(it):
+            key, sub = jax.random.split(key)
+            state, metrics = step_fn(state, sub, batch, lr)
+            train_ms.append(metrics)
+            if max_steps_per_epoch and i + 1 >= max_steps_per_epoch:
+                break
+        val_ms = []
+        it = prefetch_to_device(val_loader.epoch(epoch), mesh,
+                                depth=config.prefetch_depth)
+        for i, batch in enumerate(it):
+            val_ms.append(eval_fn(state, batch))
+            if max_steps_per_epoch and i + 1 >= max_steps_per_epoch:
+                break
+        train_ms = jax.device_get(train_ms)
+        val_ms = jax.device_get(val_ms)
+        t_loss = float(np.mean([m["loss"] for m in train_ms])) if train_ms else 0.0
+        t_acc = float(np.mean([m["acc"] for m in train_ms])) if train_ms else 0.0
+        v_loss = float(np.mean([m["loss"] for m in val_ms])) if val_ms else 0.0
+        v_acc = float(np.mean([m["acc"] for m in val_ms])) if val_ms else 0.0
+        # plateau stepped on GLOBAL val loss on every host — fixing the
+        # reference rank-0-only LR desync (main_ft_mp.py:291-292)
+        plateau.step(v_loss)
+        if jax.process_index() == 0:
+            train_logger.log({"epoch": epoch, "loss": t_loss, "acc": t_acc,
+                              "lr": float(f"{plateau.lr:.5f}")})
+            val_logger.log({"epoch": epoch, "loss": v_loss, "acc": v_acc})
+            if v_acc > best["acc"]:  # best-only retention (main_ft_mp.py:295-310)
+                if best["path"]:
+                    ckpt_lib.delete_checkpoint(best["path"])
+                path = os.path.join(log_dir, ckpt_lib.ckpt_name(epoch, best=True))
+                ckpt_lib.save_checkpoint(
+                    path,
+                    {"params": state.params, "batch_stats": state.batch_stats,
+                     "opt_state": state.opt_state, "step": state.step},
+                    meta={"arch": config.arch, "epoch": epoch + 1,
+                          "plateau": plateau.state_dict()},
+                )
+                best = {"acc": v_acc, "path": path, "epoch": epoch}
+        history.append({"epoch": epoch, "train_loss": t_loss, "train_acc": t_acc,
+                        "val_loss": v_loss, "val_acc": v_acc, "lr": plateau.lr})
+    train_logger.close()
+    val_logger.close()
+    return {"history": history, "state": state, "model": model, "best": best}
+
+
+def run_test(config: Config, max_videos: int = 0) -> Dict:
+    """Video-level sliding-window test (reference test.py:23-98):
+    per video, mean of per-window logits -> top-1/top-5."""
+    mesh = create_mesh(config.mesh_shape, config.mesh_axes)
+    dataset = build_dataset(config, "test")
+    rng = jax.random.PRNGKey(config.manual_seed)
+    num_classes = config.n_finetune_classes or config.n_classes
+    model, state, _ = create_finetune_state(config, rng, num_classes)
+
+    md_path = config.test_md_path
+    if not md_path:
+        md_path = ckpt_lib.find_best_checkpoint(
+            os.path.join(config.result_path, config.dataset, config.t_ft_task)
+        )
+    tree, meta = ckpt_lib.restore_checkpoint(
+        md_path,
+        {"params": state.params, "batch_stats": state.batch_stats},
+    )
+    assert config.arch == str(meta.get("arch", config.arch))
+    state = state.replace(params=tree["params"],
+                          batch_stats=tree["batch_stats"])
+    state = replicate(mesh, state)
+    logits_fn = make_logits_step(model, config)
+
+    result_dir = os.path.join(config.result_path, config.dataset)
+    os.makedirs(result_dir, exist_ok=True)
+    report = os.path.join(
+        result_dir,
+        f"test_{config.model_name}{config.model_depth}_{config.dataset}_"
+        f"{config.split}_{config.modality}_{config.sample_duration}_plusone.txt",
+    )
+    n = dataset.num_videos()
+    if max_videos:
+        n = min(n, max_videos)
+    correct = 0
+    lines = []
+    for i in range(n):
+        nframes, label = dataset.video_meta(i)
+        windows = sliding_window_indices(nframes, config.sample_duration,
+                                         config.pb_rate)
+        frames = np.stack([dataset.read_frames(i, w) for w in windows])
+        logits = np.asarray(logits_fn(state, jnp.asarray(frames)))
+        mean_logits = logits.mean(axis=0)
+        pred5 = np.argsort(-mean_logits)[:5]
+        correct += int(pred5[0] == label)
+        acc = correct / (i + 1)
+        lines.append(
+            f"Video[{i}]:\ttop5 = {pred5}\ttop1 = {pred5[0]}\tgt = {label}"
+            f"\tacc = {acc}"
+        )
+    acc = correct / max(n, 1)
+    with open(report, "w+") as f:
+        f.write(str(config.to_json()) + "\n")
+        f.write("\n".join(lines) + "\n")
+        f.write("Video accuracy = " + str(acc) + "\n")
+    return {"accuracy": acc, "report": report, "n_videos": n}

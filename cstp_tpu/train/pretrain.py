@@ -1,0 +1,192 @@
+"""Pretraining engine: state creation + the fused jitted train step.
+
+One XLA program per step does what the reference spreads over DataLoader
+worker processes, CUDA streams, DDP hooks, and the train loop
+(``main_byol.py:21-140``):
+
+  uint8 frames ──(on-device CSTP augmentation: overlap crop + rot90 +
+  jitter/gray/blur/flip + tf-norm, emitting the spa label)──►
+  EMA target update ──► online x2 / predictor / target x2 forwards ──►
+  7-term weighted loss ──► global-norm clip 18 ──► SGD(momentum) update.
+
+The batch arrives sharded over the mesh 'data' axis; params are replicated.
+XLA inserts the gradient all-reduce (DDP equivalent) and the global-batch BN
+reductions over ICI. Metric scalars are global means — the reference's
+explicit ``reduce_mean`` all-reduce (main_byol.py:22-26) is implicit here.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from cstp_tpu.augment.pipeline import pretrain_augment_batch
+from cstp_tpu.config import Config
+from cstp_tpu.ssl.byol import CSTPPretrain, cross_entropy, ema_update
+from cstp_tpu.train import optim
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+def create_pretrain_model(config: Config) -> CSTPPretrain:
+    return CSTPPretrain(
+        backbone=config.model_name,
+        depth=config.model_depth,
+        dtype=jnp.dtype(config.compute_dtype),
+    )
+
+
+def create_pretrain_state(
+    config: Config, rng: jax.Array
+) -> Tuple[CSTPPretrain, TrainState, optax.GradientTransformation]:
+    model = create_pretrain_model(config)
+    t, s = config.sample_duration, config.sample_size
+    dummy = jnp.zeros((2, t, s, s, 3), jnp.dtype(config.compute_dtype))
+    variables = model.init(rng, dummy, dummy, train=True)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    # Like the reference, online and target towers start from DIFFERENT
+    # random inits (torch builds them independently; r21d_byol.py:268-269) —
+    # EMA pulls target toward online over training.
+    labels = optim.param_labels(params, frozen_prefixes=("target_net",))
+    tx = optim.make_optimizer(
+        config.optimizer,
+        momentum=config.momentum,
+        weight_decay=config.weight_decay,
+        nesterov=config.nesterov,
+        clip_grad_norm=(config.clip_grad_value if config.clip_grad_norm else None),
+        labels=labels,
+    )
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=tx.init(params),
+    )
+    return model, state, tx
+
+
+def make_pretrain_step(model: CSTPPretrain, tx, config: Config):
+    """Returns jitted step(state, rng, batch, lr) -> (state, metrics).
+
+    ``batch`` dict (leading dim sharded over 'data'):
+      frames1, frames2: (B, T, H0, W0, 3) uint8 host-decoded clips
+      rot1, rot2:       (B,) int32 rotation labels
+      tem, pb:          (B,) int32 temporal-overlap / playback labels
+    The spa label is produced by the on-device crop sampler.
+    """
+    w = config.loss_weight
+    momentum = config.byol_momentum
+    sample_size = config.sample_size
+
+    def loss_fn(params, batch_stats, views_labels):
+        v1, v2, spa, tem, pb, rot1, rot2 = views_labels
+        (byol, logits), mutated = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            v1, v2, train=True, mutable=["batch_stats"],
+        )
+        p_spa, p_tem, p_pb1, p_pb2, p_rot1, p_rot2 = logits
+        l_spa = cross_entropy(p_spa, spa)
+        l_tem = cross_entropy(p_tem, tem)
+        l_pb1 = cross_entropy(p_pb1, pb)
+        l_pb2 = cross_entropy(p_pb2, pb)
+        l_rot1 = cross_entropy(p_rot1, rot1)
+        l_rot2 = cross_entropy(p_rot2, rot2)
+        # weighted mix (main_byol.py:70-73)
+        total = (
+            w[0] * byol + w[1] * l_spa + w[2] * l_tem
+            + w[3] * (l_pb1 + l_pb2) + w[4] * (l_rot1 + l_rot2)
+        )
+        metrics = {
+            "loss": total,
+            "loss_byol": byol,
+            "loss_pred_spa": l_spa,
+            "loss_pred_tem": l_tem,
+            "loss_pred_pb": 0.5 * (l_pb1 + l_pb2),
+            "loss_pred_rot": 0.5 * (l_rot1 + l_rot2),
+        }
+        return total, (metrics, mutated["batch_stats"])
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(state: TrainState, rng: jax.Array, batch: Dict[str, jnp.ndarray],
+             lr: jnp.ndarray):
+        v1, v2, spa = pretrain_augment_batch(
+            rng, batch["frames1"], batch["frames2"],
+            batch["rot1"], batch["rot2"], sample_size=sample_size,
+        )
+        dtype = jnp.dtype(config.compute_dtype)
+        views_labels = (v1.astype(dtype), v2.astype(dtype), spa,
+                        batch["tem"], batch["pb"], batch["rot1"], batch["rot2"])
+
+        # EMA of target BEFORE the forward pass — reference updates the
+        # target inside forward, pre-target-encode (r21d_byol.py:363-366).
+        params = dict(state.params)
+        params["target_net"] = ema_update(
+            state.params["target_net"], state.params["online_net"], momentum
+        )
+
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (_, (metrics, new_stats)), grads = grad_fn(
+            params, state.batch_stats, views_labels
+        )
+        updates, new_opt = tx.update(grads, state.opt_state, params)
+        new_params = optim.apply_lr(params, updates, lr)
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_stats,
+            opt_state=new_opt,
+        )
+        return new_state, metrics
+
+    return step
+
+
+def make_preaugmented_step(model: CSTPPretrain, tx, config: Config):
+    """Step variant taking already-augmented views — used by parity tests
+    and any host-side augmentation path."""
+    w = config.loss_weight
+    momentum = config.byol_momentum
+
+    def loss_fn(params, batch_stats, batch):
+        (byol, logits), mutated = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            batch["view1"], batch["view2"], train=True, mutable=["batch_stats"],
+        )
+        p_spa, p_tem, p_pb1, p_pb2, p_rot1, p_rot2 = logits
+        total = (
+            w[0] * byol
+            + w[1] * cross_entropy(p_spa, batch["spa"])
+            + w[2] * cross_entropy(p_tem, batch["tem"])
+            + w[3] * (cross_entropy(p_pb1, batch["pb"]) + cross_entropy(p_pb2, batch["pb"]))
+            + w[4] * (cross_entropy(p_rot1, batch["rot1"]) + cross_entropy(p_rot2, batch["rot2"]))
+        )
+        return total, ({"loss": total, "loss_byol": byol}, mutated["batch_stats"])
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(state, batch, lr):
+        params = dict(state.params)
+        params["target_net"] = ema_update(
+            state.params["target_net"], state.params["online_net"], momentum
+        )
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (_, (metrics, new_stats)), grads = grad_fn(params, state.batch_stats, batch)
+        updates, new_opt = tx.update(grads, state.opt_state, params)
+        new_params = optim.apply_lr(params, updates, lr)
+        return (
+            state.replace(step=state.step + 1, params=new_params,
+                          batch_stats=new_stats, opt_state=new_opt),
+            metrics,
+        )
+
+    return step

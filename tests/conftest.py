@@ -1,0 +1,42 @@
+"""Test harness: force an 8-device virtual CPU mesh before JAX loads.
+
+This is the TPU-world substitute for multi-chip hardware (SURVEY §4): all
+sharding/collective paths compile and run on 8 host-platform devices.
+"""
+
+import os
+
+# FORCE cpu: the dev box's sitecustomize registers the tunneled-TPU 'axon'
+# backend and sets jax_platforms='axon,cpu' via jax.config — overriding both
+# the env var and in-process os.environ. Tests must run on the local virtual
+# 8-device CPU mesh, so override the CONFIG after import, before any backend
+# is initialized.
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_default_matmul_precision", "float32")
+# Persistent compile cache: XLA:CPU compiles are minutes-slow on the 1-core
+# CI host; cache across runs so only the first run pays.
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
+
+
+@pytest.fixture
+def key():
+    return jax.random.PRNGKey(0)

@@ -1,0 +1,126 @@
+"""Tests: synthetic dataset, loaders, packed shard store, label parsing."""
+
+import os
+
+import numpy as np
+import pytest
+
+from cstp_tpu.data.labels import parse_kinetics_list, parse_ucf_list
+from cstp_tpu.data.loader import FinetuneLoader, PretrainLoader
+from cstp_tpu.data.packed import PackedDataset, PackedWriter, pack_frame_dir
+from cstp_tpu.data.synthetic import SyntheticVideoDataset
+
+
+@pytest.fixture(scope="module")
+def ds():
+    return SyntheticVideoDataset(n_videos=32, n_classes=10,
+                                 ingest_hw=(48, 64), seed=0)
+
+
+def test_synthetic_protocol(ds):
+    assert ds.num_videos() == 32
+    nf, label = ds.video_meta(3)
+    assert nf >= 40 and 0 <= label < 10
+    frames = ds.read_frames(3, [0, 5, 5, 10])
+    assert frames.shape == (4, 48, 64, 3) and frames.dtype == np.uint8
+    # deterministic
+    np.testing.assert_array_equal(frames, ds.read_frames(3, [0, 5, 5, 10]))
+    # temporal variation
+    assert not np.array_equal(frames[0], frames[3])
+
+
+def test_pretrain_loader_batches(ds):
+    loader = PretrainLoader(ds, batch_size=4, sample_duration=8, seed=1,
+                            num_workers=2)
+    batches = list(loader.epoch(0))
+    assert len(batches) == len(loader) == 8
+    b = batches[0]
+    assert b["frames1"].shape == (4, 8, 48, 64, 3)
+    assert b["frames2"].shape == (4, 8, 48, 64, 3)
+    for k in ("rot1", "rot2", "tem", "pb"):
+        assert b[k].shape == (4,) and b[k].dtype == np.int32
+    # epoch shuffling differs across epochs, deterministic within
+    b2 = next(iter(loader.epoch(1)))
+    assert not np.array_equal(b["frames1"], b2["frames1"])
+    b0_again = next(iter(loader.epoch(0)))
+    np.testing.assert_array_equal(b["frames1"], b0_again["frames1"])
+
+
+def test_pretrain_loader_host_sharding(ds):
+    l0 = PretrainLoader(ds, 4, 8, process_index=0, process_count=2)
+    l1 = PretrainLoader(ds, 4, 8, process_index=1, process_count=2)
+    assert len(l0) == len(l1) == 4
+
+
+def test_finetune_loader(ds):
+    tr = FinetuneLoader(ds, batch_size=4, sample_duration=8, pb_rate=2,
+                        train=True, num_workers=2)
+    batches = list(tr.epoch(0))
+    assert batches[0]["frames"].shape == (4, 8, 48, 64, 3)
+    assert batches[0]["labels"].shape == (4,)
+    # val is deterministic across epochs
+    va = FinetuneLoader(ds, batch_size=4, sample_duration=8, pb_rate=2,
+                        train=False, num_workers=2)
+    a = next(iter(va.epoch(0)))
+    b = next(iter(va.epoch(5)))
+    np.testing.assert_array_equal(a["frames"], b["frames"])
+
+
+def test_packed_roundtrip_raw(tmp_path, ds):
+    out = str(tmp_path / "shard.cstpack")
+    w = PackedWriter(out)
+    for i in range(4):
+        nf, label = ds.video_meta(i)
+        frames = ds.read_frames(i, list(range(min(nf, 12))))
+        w.add_video_raw(f"vid{i}", label, frames)
+    w.close()
+
+    p = PackedDataset(out, ingest_hw=(48, 64))
+    assert p.num_videos() == 4
+    nf0, label0 = p.video_meta(0)
+    assert nf0 == min(ds.video_meta(0)[0], 12)
+    assert label0 == ds.video_meta(0)[1]
+    got = p.read_frames(0, [0, 3, 7])
+    want = ds.read_frames(0, [0, 3, 7])
+    np.testing.assert_array_equal(got, want)
+    p.close()
+
+
+def test_packed_roundtrip_jpeg(tmp_path, ds):
+    from PIL import Image
+    import io
+
+    out = str(tmp_path / "jpeg.cstpack")
+    w = PackedWriter(out)
+    frames = ds.read_frames(0, [0, 1, 2])
+    blobs = []
+    for f in frames:
+        buf = io.BytesIO()
+        Image.fromarray(f).save(buf, format="JPEG", quality=95)
+        blobs.append(buf.getvalue())
+    w.add_video("v0", 7, blobs)
+    w.close()
+
+    p = PackedDataset(out, ingest_hw=(48, 64))
+    got = p.read_frames(0, [0, 2])
+    assert got.shape == (2, 48, 64, 3)
+    # JPEG lossy: close, not exact
+    assert np.abs(got.astype(int) - frames[[0, 2]].astype(int)).mean() < 8
+    p.close()
+
+
+def test_label_parsing(tmp_path):
+    ucf = tmp_path / "trainlist01_nframe.txt"
+    ucf.write_text(
+        "ApplyEyeMakeup/v_ApplyEyeMakeup_g08_c01.avi 0 164\n"
+        "Archery/v_Archery_g01_c01.avi 2 120\n"
+    )
+    recs = parse_ucf_list(str(ucf))
+    assert len(recs) == 2
+    assert recs[0].path == "ApplyEyeMakeup/v_ApplyEyeMakeup_g08_c01"
+    assert recs[0].label == 0 and recs[0].nframes == 164
+
+    kin = tmp_path / "val_list_label_nframe.txt"
+    kin.write_text("val/abseiling/x.mp4  3  250\n")
+    recs = parse_kinetics_list(str(kin))
+    assert recs[0].label == 3 and recs[0].nframes == 250

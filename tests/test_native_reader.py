@@ -1,0 +1,83 @@
+"""Native C++ CSTPack reader vs the pure-Python reference implementation."""
+
+import io
+
+import numpy as np
+import pytest
+
+from cstp_tpu.data.packed import PackedDataset, PackedWriter
+from cstp_tpu.data.synthetic import SyntheticVideoDataset
+
+native = pytest.importorskip("cstp_tpu.data.native_reader")
+if native.load_native_lib() is None:
+    pytest.skip("native lib unavailable", allow_module_level=True)
+
+
+@pytest.fixture(scope="module")
+def shard(tmp_path_factory):
+    from PIL import Image
+
+    ds = SyntheticVideoDataset(n_videos=6, n_classes=5, ingest_hw=(48, 64),
+                               seed=3)
+    path = str(tmp_path_factory.mktemp("pack") / "shard.cstpack")
+    w = PackedWriter(path)
+    for i in range(4):  # raw videos
+        nf, label = ds.video_meta(i)
+        frames = ds.read_frames(i, list(range(min(nf, 10))))
+        w.add_video_raw(f"raw{i}", label, frames)
+    for i in range(4, 6):  # jpeg videos
+        nf, label = ds.video_meta(i)
+        frames = ds.read_frames(i, list(range(min(nf, 10))))
+        blobs = []
+        for f in frames:
+            buf = io.BytesIO()
+            Image.fromarray(f).save(buf, format="JPEG", quality=95)
+            blobs.append(buf.getvalue())
+        w.add_video(f"jpg{i}", label, blobs)
+    w.close()
+    return path
+
+
+def test_native_matches_python_meta(shard):
+    py = PackedDataset(shard, ingest_hw=(48, 64))
+    nat = native.NativePackedDataset(shard, ingest_hw=(48, 64), n_threads=2)
+    assert nat.num_videos() == py.num_videos() == 6
+    for i in range(6):
+        assert nat.video_meta(i) == py.video_meta(i)
+
+
+def test_native_raw_frames_exact(shard):
+    py = PackedDataset(shard, ingest_hw=(48, 64))
+    nat = native.NativePackedDataset(shard, ingest_hw=(48, 64), n_threads=2)
+    idx = [0, 2, 2, 5]
+    np.testing.assert_array_equal(
+        nat.read_frames(0, idx), py.read_frames(0, idx)
+    )
+
+
+def test_native_jpeg_frames_close(shard):
+    py = PackedDataset(shard, ingest_hw=(48, 64))
+    nat = native.NativePackedDataset(shard, ingest_hw=(48, 64), n_threads=2)
+    got = nat.read_frames(4, [0, 3])
+    want = py.read_frames(4, [0, 3])
+    # same JPEG decode (libjpeg both sides), same size -> identical
+    assert np.abs(got.astype(int) - want.astype(int)).mean() < 2.0
+
+
+def test_native_batched_read(shard):
+    nat = native.NativePackedDataset(shard, ingest_hw=(32, 40), n_threads=4)
+    vids = np.asarray([0, 1, 4, 5], np.int32)
+    idx = np.asarray([[0, 1, 2, 3]] * 4, np.int32)
+    out = nat.read_clips(vids, idx)
+    assert out.shape == (4, 4, 32, 40, 3)
+    # per-video content must match singleton reads
+    np.testing.assert_array_equal(out[1], nat.read_frames(1, [0, 1, 2, 3]))
+
+
+def test_native_resize_matches_python_closely(shard):
+    """Native fixed-point bilinear vs PIL bilinear at a different size."""
+    py = PackedDataset(shard, ingest_hw=(24, 32))
+    nat = native.NativePackedDataset(shard, ingest_hw=(24, 32), n_threads=1)
+    got = nat.read_frames(0, [0]).astype(int)
+    want = py.read_frames(0, [0]).astype(int)
+    assert np.abs(got - want).mean() < 6.0

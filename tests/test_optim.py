@@ -1,0 +1,121 @@
+"""Scheduler/optimizer parity tests against torch semantics."""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cstp_tpu.train import optim
+
+
+def _torch_reference_lrs(n_epochs, max_lr, min_lr, warmup, gamma, steps):
+    """Transliteration of reference scheduler/cosine_anneal.py get_lr()
+    evaluated at each step_in_cycle (per-epoch stepping, cycle_mult=1)."""
+    out = []
+    for step in range(steps):
+        cycle = step // n_epochs
+        s = step % n_epochs
+        cur_max = max_lr * (gamma ** cycle)
+        if s < warmup:
+            out.append((cur_max - min_lr) * s / warmup + min_lr)
+        else:
+            out.append(
+                min_lr
+                + (cur_max - min_lr)
+                * (1 + math.cos(math.pi * (s - warmup) / (n_epochs - warmup)))
+                / 2
+            )
+    return out
+
+
+def test_cosine_warmup_restarts_matches_reference():
+    n, max_lr, min_lr, gamma = 300, 0.09, 1e-5, 0.5
+    warmup = 0.5 * n
+    fn = optim.cosine_warmup_restarts(max_lr, n, warmup, min_lr, gamma)
+    want = _torch_reference_lrs(n, max_lr, min_lr, warmup, gamma, 650)
+    got = [fn(s) for s in range(650)]
+    np.testing.assert_allclose(got, want, rtol=1e-12)
+    # epoch 0 trains at min_lr; mid-warmup ~ half of max; end of cycle ~ min
+    assert got[0] == min_lr
+    assert abs(got[75] - (max_lr - min_lr) * 0.5 - min_lr) < 1e-3
+    assert abs(got[299] - min_lr) < 1e-5
+    # second cycle max is gamma-decayed
+    assert abs(max(got[300:600]) - (max_lr * gamma)) < 1e-3
+
+
+def test_plateau_scheduler():
+    s = optim.ReduceLROnPlateau(lr=0.1, patience=2, factor=0.1)
+    for m in [1.0, 0.9, 0.8]:
+        assert s.step(m) == 0.1  # improving
+    assert s.step(0.8) == 0.1   # bad 1
+    assert s.step(0.8) == 0.1   # bad 2
+    assert abs(s.step(0.8) - 0.01) < 1e-12  # bad 3 > patience -> decay
+    # round-trips through state_dict
+    s2 = optim.ReduceLROnPlateau.from_state_dict(s.state_dict())
+    assert s2.lr == s.lr and s2.best == s.best
+
+
+def test_sgd_matches_torch_semantics():
+    """p -= lr * buf with buf = m*buf + (grad + wd*p)."""
+    import torch
+
+    w0 = np.asarray([1.0, -2.0, 3.0], np.float32)
+    lr, mom, wd = 0.1, 0.9, 0.01
+
+    # torch
+    p = torch.nn.Parameter(torch.tensor(w0))
+    opt = torch.optim.SGD([p], lr=lr, momentum=mom, weight_decay=wd)
+    grads = [np.asarray([0.5, -0.1, 0.2], np.float32),
+             np.asarray([-0.3, 0.4, 0.1], np.float32)]
+    for g in grads:
+        opt.zero_grad()
+        p.grad = torch.tensor(g)
+        opt.step()
+    want = p.detach().numpy()
+
+    # ours
+    params = {"w": jnp.asarray(w0)}
+    tx = optim.make_optimizer("sgd", momentum=mom, weight_decay=wd,
+                              clip_grad_norm=None)
+    st = tx.init(params)
+    for g in grads:
+        upd, st = tx.update({"w": jnp.asarray(g)}, st, params)
+        params = optim.apply_lr(params, upd, lr)
+    np.testing.assert_allclose(np.asarray(params["w"]), want, rtol=1e-6)
+
+
+def test_clip_grad_norm_matches_torch():
+    import torch
+
+    gs = {"a": jnp.asarray([3.0, 4.0]), "b": jnp.asarray([12.0])}
+    tx = optim.make_optimizer("sgd", momentum=0.0, weight_decay=0.0,
+                              clip_grad_norm=5.0)
+    params = jax.tree_util.tree_map(jnp.zeros_like, gs)
+    st = tx.init(params)
+    upd, _ = tx.update(gs, st, params)
+    total = math.sqrt(3**2 + 4**2 + 12**2)  # 13
+    np.testing.assert_allclose(
+        np.asarray(upd["a"]), np.asarray([3.0, 4.0]) * 5.0 / total, rtol=1e-5
+    )
+
+
+def test_param_labels_freezes_target():
+    params = {
+        "online_net": {"conv": {"kernel": jnp.ones((2,))}},
+        "target_net": {"conv": {"kernel": jnp.ones((2,))}},
+        "predictor": {"fc1": {"kernel": jnp.ones((2,))}},
+    }
+    labels = optim.param_labels(params, frozen_prefixes=("target_net",))
+    assert labels["online_net"]["conv"]["kernel"] == "train"
+    assert labels["target_net"]["conv"]["kernel"] == "frozen"
+    assert labels["predictor"]["fc1"]["kernel"] == "train"
+
+    tx = optim.make_optimizer("sgd", momentum=0.9, weight_decay=0.01,
+                              clip_grad_norm=18.0, labels=labels)
+    st = tx.init(params)
+    grads = jax.tree_util.tree_map(jnp.ones_like, params)
+    upd, _ = tx.update(grads, st, params)
+    assert np.asarray(upd["target_net"]["conv"]["kernel"]).max() == 0.0
+    assert np.asarray(upd["online_net"]["conv"]["kernel"]).max() != 0.0
