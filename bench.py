@@ -23,6 +23,11 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # persistent compile cache: the fused step takes minutes to compile via
+    # the remote-compile tunnel; cache so repeated bench runs pay once.
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from cstp_tpu.config import Config
     from cstp_tpu.parallel import create_mesh, replicate, shard_batch
     from cstp_tpu.train.pretrain import create_pretrain_state, make_pretrain_step

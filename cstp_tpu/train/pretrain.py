@@ -77,13 +77,19 @@ def create_pretrain_state(
 
 
 def make_pretrain_step(model: CSTPPretrain, tx, config: Config):
-    """Returns jitted step(state, rng, batch, lr) -> (state, metrics).
+    """Returns step(state, rng, batch, lr) -> (state, metrics).
 
     ``batch`` dict (leading dim sharded over 'data'):
       frames1, frames2: (B, T, H0, W0, 3) uint8 host-decoded clips
       rot1, rot2:       (B,) int32 rotation labels
       tem, pb:          (B,) int32 temporal-overlap / playback labels
     The spa label is produced by the on-device crop sampler.
+
+    Two XLA programs, not one: the augmentation pipeline and the
+    train (fwd+bwd+update) program are jitted separately. Dispatch overhead
+    between two device programs is negligible, but compiling them together
+    multiplies compile time (the vmapped augmentation alone is a large
+    program) — and they recompile independently when only one changes.
     """
     w = config.loss_weight
     momentum = config.byol_momentum
@@ -117,17 +123,17 @@ def make_pretrain_step(model: CSTPPretrain, tx, config: Config):
         }
         return total, (metrics, mutated["batch_stats"])
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def step(state: TrainState, rng: jax.Array, batch: Dict[str, jnp.ndarray],
-             lr: jnp.ndarray):
-        v1, v2, spa = pretrain_augment_batch(
-            rng, batch["frames1"], batch["frames2"],
-            batch["rot1"], batch["rot2"], sample_size=sample_size,
-        )
-        dtype = jnp.dtype(config.compute_dtype)
-        views_labels = (v1.astype(dtype), v2.astype(dtype), spa,
-                        batch["tem"], batch["pb"], batch["rot1"], batch["rot2"])
+    dtype = jnp.dtype(config.compute_dtype)
 
+    @functools.partial(jax.jit, static_argnames=(), donate_argnums=(1, 2))
+    def augment(rng, frames1, frames2, rot1, rot2):
+        v1, v2, spa = pretrain_augment_batch(
+            rng, frames1, frames2, rot1, rot2, sample_size=sample_size,
+        )
+        return v1.astype(dtype), v2.astype(dtype), spa
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def train(state: TrainState, views_labels, lr: jnp.ndarray):
         # EMA of target BEFORE the forward pass — reference updates the
         # target inside forward, pre-target-encode (r21d_byol.py:363-366).
         params = dict(state.params)
@@ -148,6 +154,14 @@ def make_pretrain_step(model: CSTPPretrain, tx, config: Config):
             opt_state=new_opt,
         )
         return new_state, metrics
+
+    def step(state: TrainState, rng: jax.Array, batch: Dict[str, jnp.ndarray],
+             lr: jnp.ndarray):
+        v1, v2, spa = augment(rng, batch["frames1"], batch["frames2"],
+                              batch["rot1"], batch["rot2"])
+        views_labels = (v1, v2, spa, batch["tem"], batch["pb"],
+                        batch["rot1"], batch["rot2"])
+        return train(state, views_labels, lr)
 
     return step
 
