@@ -1,0 +1,145 @@
+"""Offline ffmpeg frame extraction: videos -> 1-based ``%05d.jpg`` frame dirs.
+
+The rebuild of ``utils_dir/extract_frames_kin.py:12-52``: per video, ffprobe
+the aspect ratio, scale the SHORT side to ``res`` (Kinetics 320@30fps,
+UCF/HMDB 256@25fps), dump ``-q:v 2`` JPEGs, and drop a ``done`` marker so
+re-runs skip finished videos. Differences from the reference: subprocess
+argument lists instead of shell interpolation (quote-safe paths), a
+``--list-file`` mode that emits the ``relpath label nframes`` annotation
+line per video, and parallel worker processes.
+
+CLI:  python -m cstp_tpu.data.extract_frames --vid-dir D --frame-dir O \
+          [--res 320 --fps 30 --workers 8 --redo --list-file out.txt]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import shutil
+import subprocess
+import sys
+from concurrent.futures import ThreadPoolExecutor
+from typing import List, Optional, Tuple
+
+
+def probe_hw(path: str, ffprobe: str = "ffprobe") -> Tuple[int, int]:
+    """(width, height) via ffprobe (reference lines 27-31)."""
+    out = subprocess.check_output(
+        [ffprobe, "-v", "error", "-show_entries", "stream=width,height",
+         "-of", "default=noprint_wrappers=1", path],
+        text=True,
+    )
+    vals = {}
+    for line in out.splitlines():
+        if "=" in line:
+            k, v = line.split("=", 1)
+            vals.setdefault(k, v)
+    return int(vals["width"]), int(vals["height"])
+
+
+def scale_arg(width: int, height: int, res: int) -> str:
+    """Short side -> res, aspect preserved (reference line 32)."""
+    return f"-1:{res}" if width > height else f"{res}:-1"
+
+
+def extract_video(video_path: str, out_dir: str, res: int = 320,
+                  fps: int = 30, redo: bool = False,
+                  ffmpeg: str = "ffmpeg", ffprobe: str = "ffprobe") -> int:
+    """Extract one video; returns frame count (0 on failure). Skips work if
+    ``out_dir/done`` exists (reference line 24)."""
+    done = os.path.join(out_dir, "done")
+    if os.path.isfile(done) and not redo:
+        return sum(1 for f in os.listdir(out_dir) if f.endswith(".jpg"))
+    os.makedirs(out_dir, exist_ok=True)
+    try:
+        w, h = probe_hw(video_path, ffprobe)
+        subprocess.run(
+            [ffmpeg, "-y", "-i", video_path, "-r", str(fps), "-q:v", "2",
+             "-vf", f"scale={scale_arg(w, h, res)}",
+             os.path.join(out_dir, "%05d.jpg")],
+            check=True, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        )
+        nframes = sum(
+            1 for f in os.listdir(out_dir)
+            if f.endswith(".jpg") and len(f) == 9
+        )
+        if nframes == 0:
+            raise RuntimeError("no frames produced")
+        with open(done, "w"):
+            pass
+        return nframes
+    except Exception as e:  # match reference: report and continue
+        print(f"ERROR {video_path}: {e}", file=sys.stderr)
+        return 0
+
+
+def extract_tree(vid_dir: str, frame_dir: str, res: int = 320, fps: int = 30,
+                 redo: bool = False, workers: int = 4,
+                 start: int = 0, end: Optional[int] = None,
+                 ffmpeg: str = "ffmpeg", ffprobe: str = "ffprobe",
+                 class_labels: bool = True) -> List[Tuple[str, int, int]]:
+    """Walk ``vid_dir/<class>/<video>`` and extract everything.
+
+    Returns [(relpath_without_ext, class_index, nframes), ...] for annotation
+    emission; class index = sorted-class order (UCF-style labels).
+    """
+    classes = sorted(
+        c for c in os.listdir(vid_dir) if os.path.isdir(os.path.join(vid_dir, c))
+    )[start:end]
+    jobs = []
+    for ci, cls in enumerate(classes):
+        for v in sorted(os.listdir(os.path.join(vid_dir, cls))):
+            rel = os.path.join(cls, os.path.splitext(v)[0])
+            jobs.append((os.path.join(vid_dir, cls, v),
+                         os.path.join(frame_dir, rel), rel, ci))
+    results = []
+    with ThreadPoolExecutor(max(1, workers)) as pool:
+        futs = [
+            (rel, ci, pool.submit(extract_video, src, dst, res, fps, redo,
+                                  ffmpeg, ffprobe))
+            for src, dst, rel, ci in jobs
+        ]
+        for rel, ci, fut in futs:
+            results.append((rel, ci, fut.result()))
+    return results
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="python -m cstp_tpu.data.extract_frames")
+    ap.add_argument("--vid-dir", required=True)
+    ap.add_argument("--frame-dir", required=True)
+    ap.add_argument("--res", type=int, default=320,
+                    help="short side (Kinetics 320, UCF/HMDB 256)")
+    ap.add_argument("--fps", type=int, default=30,
+                    help="Kinetics 30, UCF/HMDB 25")
+    ap.add_argument("--redo", action="store_true")
+    ap.add_argument("--workers", type=int, default=4)
+    ap.add_argument("--start", type=int, default=0)
+    ap.add_argument("--end", type=int, default=None)
+    ap.add_argument("--list-file", default=None,
+                    help="write 'relpath label nframes' annotation lines here")
+    ap.add_argument("--ffmpeg", default="ffmpeg")
+    ap.add_argument("--ffprobe", default="ffprobe")
+    args = ap.parse_args(argv)
+
+    if shutil.which(args.ffmpeg) is None:
+        print(f"error: {args.ffmpeg!r} not found on PATH", file=sys.stderr)
+        return 2
+    results = extract_tree(args.vid_dir, args.frame_dir, res=args.res,
+                           fps=args.fps, redo=args.redo, workers=args.workers,
+                           start=args.start, end=args.end,
+                           ffmpeg=args.ffmpeg, ffprobe=args.ffprobe)
+    ok = sum(1 for _, _, n in results if n > 0)
+    print(f"extracted {ok}/{len(results)} videos -> {args.frame_dir}")
+    if args.list_file:
+        with open(args.list_file, "w") as f:
+            for rel, ci, n in results:
+                if n > 0:
+                    f.write(f"{rel} {ci} {n}\n")
+        print(f"wrote annotation list -> {args.list_file}")
+    return 0 if ok == len(results) else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

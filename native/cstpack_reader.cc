@@ -137,6 +137,7 @@ void ResizeBilinear(const uint8_t* src, int sw, int sh, uint8_t* dst, int dw,
 // Decode+resize one frame of one video into dst (out_h*out_w*3).
 bool ReadFrame(const Pack* p, int vid, int frame, int out_h, int out_w,
                uint8_t* dst) {
+  if (vid < 0 || size_t(vid) >= p->index.size()) return false;
   const VideoIndex& v = p->index[vid];
   if (frame < 0 || frame >= v.nframes) return false;
   const uint8_t* blob = p->base + v.offsets[frame];

@@ -1,0 +1,98 @@
+"""Offline extraction tool tests with a stubbed ffmpeg/ffprobe (the real
+binaries are exercised identically — argv-level contract)."""
+
+import os
+import stat
+
+import pytest
+
+from cstp_tpu.data.extract_frames import main, scale_arg
+
+
+FFPROBE_STUB = """#!/bin/bash
+# last arg is the video path; encode WxH in the file's first line
+read -r line < "${@: -1}"
+echo "width=${line%x*}"
+echo "height=${line#*x}"
+"""
+
+FFMPEG_STUB = """#!/bin/bash
+# find the output pattern (last arg) and -vf scale arg; write 3 jpgs
+pattern="${@: -1}"
+outdir=$(dirname "$pattern")
+for i in 1 2 3; do
+  printf 'JPG' > "$outdir/$(printf '%05d' $i).jpg"
+done
+# record the scale arg for assertions
+for a in "$@"; do case "$a" in scale=*) echo "$a" > "$outdir/.scale";; esac; done
+"""
+
+
+@pytest.fixture
+def stub_bin(tmp_path):
+    b = tmp_path / "bin"
+    b.mkdir()
+    for name, body in (("ffprobe", FFPROBE_STUB), ("ffmpeg", FFMPEG_STUB)):
+        p = b / name
+        p.write_text(body)
+        p.chmod(p.stat().st_mode | stat.S_IEXEC)
+    return b
+
+
+def _make_videos(tmp_path):
+    vd = tmp_path / "videos"
+    for cls, wh in (("classA", "640x360"), ("classB", "360x640")):
+        d = vd / cls
+        d.mkdir(parents=True)
+        (d / "vid1.mp4").write_text(wh + "\n")
+    return vd
+
+
+def test_scale_arg():
+    assert scale_arg(640, 360, 320) == "-1:320"   # wide: height -> res
+    assert scale_arg(360, 640, 256) == "256:-1"   # tall: width -> res
+
+
+def test_extract_tree_and_list_file(tmp_path, stub_bin):
+    vd = _make_videos(tmp_path)
+    fd = tmp_path / "frames"
+    lst = tmp_path / "train_list.txt"
+    rc = main(["--vid-dir", str(vd), "--frame-dir", str(fd),
+               "--res", "320", "--fps", "30", "--workers", "2",
+               "--list-file", str(lst),
+               "--ffmpeg", str(stub_bin / "ffmpeg"),
+               "--ffprobe", str(stub_bin / "ffprobe")])
+    assert rc == 0
+    # frames + done markers
+    a = fd / "classA" / "vid1"
+    assert sorted(f for f in os.listdir(a) if f.endswith(".jpg")) == [
+        "00001.jpg", "00002.jpg", "00003.jpg"]
+    assert (a / "done").exists()
+    # aspect-aware scaling: wide video scales height, tall scales width
+    assert (a / ".scale").read_text().strip() == "scale=-1:320"
+    assert (fd / "classB" / "vid1" / ".scale").read_text().strip() == \
+        "scale=320:-1"
+    # annotation list in UCF format: relpath label nframes
+    lines = sorted(lst.read_text().splitlines())
+    assert lines == ["classA/vid1 0 3", "classB/vid1 1 3"]
+
+
+def test_done_marker_skips_reextraction(tmp_path, stub_bin):
+    vd = _make_videos(tmp_path)
+    fd = tmp_path / "frames"
+    args = ["--vid-dir", str(vd), "--frame-dir", str(fd),
+            "--ffmpeg", str(stub_bin / "ffmpeg"),
+            "--ffprobe", str(stub_bin / "ffprobe")]
+    assert main(args) == 0
+    marker = fd / "classA" / "vid1" / "00001.jpg"
+    marker.write_text("MODIFIED")
+    assert main(args) == 0  # skipped: done marker present
+    assert marker.read_text() == "MODIFIED"
+    assert main(args + ["--redo"]) == 0  # redo overwrites
+    assert marker.read_text() == "JPG"
+
+
+def test_missing_ffmpeg_errors(tmp_path):
+    rc = main(["--vid-dir", str(tmp_path), "--frame-dir", str(tmp_path),
+               "--ffmpeg", "definitely-not-here-ffmpeg"])
+    assert rc == 2

@@ -81,3 +81,49 @@ def test_native_resize_matches_python_closely(shard):
     got = nat.read_frames(0, [0]).astype(int)
     want = py.read_frames(0, [0]).astype(int)
     assert np.abs(got - want).mean() < 6.0
+
+
+def test_native_corrupt_jpeg_zero_fills(tmp_path):
+    """Corrupt JPEG blobs must not crash the pthread pool: the frame is
+    zero-filled, an error is counted (surfaced as a warning), and the other
+    frames decode intact (VERDICT r1 weak #9)."""
+    import io
+
+    from PIL import Image
+
+    rng = np.random.default_rng(5)
+    good = rng.integers(0, 255, (32, 40, 3)).astype(np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(good).save(buf, format="JPEG", quality=95)
+    good_blob = buf.getvalue()
+    # libjpeg tolerates TRUNCATED streams (fake-EOI + gray fill, warning
+    # only); a stream with no JPEG header at all hits error_exit -> longjmp
+    bad_blob = b"this is definitely not a jpeg bitstream" * 4
+
+    path = str(tmp_path / "corrupt.cstpack")
+    w = PackedWriter(path)
+    w.add_video("v0", 0, [good_blob, bad_blob, good_blob])
+    w.close()
+
+    nat = native.NativePackedDataset(path, ingest_hw=(32, 40), n_threads=2)
+    with pytest.warns(UserWarning, match="decode errors"):
+        frames = nat.read_frames(0, [0, 1, 2])
+    assert frames.shape == (3, 32, 40, 3)
+    assert frames[1].max() == 0                    # corrupt -> zeros
+    assert frames[0].std() > 1 and frames[2].std() > 1  # neighbors intact
+    nat.close()
+
+
+def test_native_out_of_range_indices_zero_fill(shard):
+    nat = native.NativePackedDataset(shard, ingest_hw=(48, 64), n_threads=2)
+    # frame index beyond nframes and negative: zero-filled, no crash
+    with pytest.warns(UserWarning):
+        frames = nat.read_frames(0, [0, 999, -3])
+    assert frames[1].max() == 0 and frames[2].max() == 0
+    assert frames[0].std() > 1
+    # video id out of range: whole clip zero-filled, no crash
+    with pytest.warns(UserWarning):
+        clips = nat.read_clips(np.asarray([999], np.int32),
+                               np.asarray([[0, 1]], np.int32))
+    assert clips.max() == 0
+    nat.close()
