@@ -73,13 +73,39 @@ def _merge_by_name(target, restored):
     """Recursively overlay restored leaves onto target by dict path —
     equivalent to reference ``neq_load_customized`` (models/model.py:11-36):
     keys present in both are loaded, target-only keys keep their init,
-    restored-only keys are dropped."""
+    restored-only keys are dropped.
+
+    Orbax round-trips namedtuples (optax states) and tuples as dicts keyed
+    by field name / index string; the target's container types are
+    reconstructed so optimizer state survives resume intact."""
     if isinstance(target, dict) and isinstance(restored, dict):
         out = dict(target)
         for k in target:
             if k in restored:
                 out[k] = _merge_by_name(target[k], restored[k])
         return out
+    if hasattr(target, "_fields"):  # namedtuple (optax TraceState etc.)
+        if isinstance(restored, dict):
+            vals = {f: _merge_by_name(getattr(target, f), restored[f])
+                    for f in target._fields if f in restored}
+        elif isinstance(restored, (tuple, list)) and len(restored) == len(
+                target._fields):
+            vals = {f: _merge_by_name(getattr(target, f), r)
+                    for f, r in zip(target._fields, restored)}
+        else:
+            return target
+        full = {f: vals.get(f, getattr(target, f)) for f in target._fields}
+        return type(target)(**full)
+    if isinstance(target, (tuple, list)):
+        if isinstance(restored, dict):
+            seq = [_merge_by_name(t, restored[str(i)])
+                   if str(i) in restored else t
+                   for i, t in enumerate(target)]
+        elif isinstance(restored, (tuple, list)) and len(restored) == len(target):
+            seq = [_merge_by_name(t, r) for t, r in zip(target, restored)]
+        else:
+            return target
+        return type(target)(seq) if isinstance(target, list) else tuple(seq)
     if restored is None:
         return target
     return restored

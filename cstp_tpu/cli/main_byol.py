@@ -10,10 +10,12 @@ all local (and, after ``jax.distributed.initialize``, all slice) chips.
 """
 
 from cstp_tpu.config import parse_opts
+from cstp_tpu.parallel import maybe_initialize_distributed
 from cstp_tpu.train.loops import run_pretrain
 
 
 def main(argv=None):
+    maybe_initialize_distributed()
     config = parse_opts(argv)
     if config.task not in ("loss_com", "r_byol", "resume"):
         raise SystemExit(f"main_byol handles pretrain tasks, got {config.task!r}")

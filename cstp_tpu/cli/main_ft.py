@@ -6,10 +6,12 @@
 """
 
 from cstp_tpu.config import parse_opts
+from cstp_tpu.parallel import maybe_initialize_distributed
 from cstp_tpu.train.loops import run_finetune
 
 
 def main(argv=None):
+    maybe_initialize_distributed()
     config = parse_opts(argv)
     if config.task not in ("ft_fc", "ft_all", "scratch", "resume"):
         raise SystemExit(f"main_ft handles finetune tasks, got {config.task!r}")

@@ -5,10 +5,12 @@
 """
 
 from cstp_tpu.config import parse_opts
+from cstp_tpu.parallel import maybe_initialize_distributed
 from cstp_tpu.train.loops import run_test
 
 
 def main(argv=None):
+    maybe_initialize_distributed()
     config = parse_opts(argv)
     if config.task != "test":
         raise SystemExit(f"main_test handles task 'test', got {config.task!r}")

@@ -46,7 +46,10 @@ class Config:
     # ---- optimizer (opts.py:107-146) ----
     learning_rate: float = 3e-4
     momentum: float = 0.9
-    dampening: float = 0.9
+    # reference --dampening defaults 0.9 but is never passed to SGD
+    # (main_byol.py:229-232); effective torch default is 0. Here the flag is
+    # real, so the default matches the reference's EFFECTIVE behavior.
+    dampening: float = 0.0
     weight_decay: float = 1e-4
     nesterov: bool = False
     optimizer: str = "sgd"
@@ -63,6 +66,9 @@ class Config:
     clip_grad_norm: int = 1
     clip_grad_value: float = 18.0  # reference hard-codes 18 (main_byol.py:89)
     pb_rate: int = 4
+    # transform_mode/input_size/output_feat are accepted for reference CLI
+    # compatibility but are vestigial THERE too (never read on live paths;
+    # orphans of the deleted contrastive-era train.py — SURVEY §2.5)
     transform_mode: str = "img"
     input_size: int = 320
     output_feat: int = 128
@@ -81,10 +87,17 @@ class Config:
     param_dtype: str = "float32"
     byol_momentum: float = 0.996            # EMA m (r21d_byol.py:263)
     prefetch_depth: int = 2
-    log_every: int = 1
+    log_every: int = 1                      # per-step console print period (0=off)
+    profile_dir: str = ""                   # capture an xprof trace here
+    profile_steps: int = 5                  # steps to trace (first epoch)
     ckpt_every_epochs: int = 100            # reference: epoch % 100 (main_byol.py:132)
     device_augment: bool = True             # fused on-device aug vs host PIL path
-    data_backend: str = "framedir"          # framedir | packed | synthetic
+    ntxent_weight: float = 0.0              # >0 adds NT-Xent(temperature) with
+                                            # global in-batch negatives
+    s2d_stem: bool = False                  # s3d space-to-depth stem
+                                            # (ref s3d_g.py:280-287)
+    pallas_augment: str = "auto"            # fused aug kernel: auto|on|off
+    data_backend: str = "framedir"          # framedir | packed | lmdb | synthetic
     synthetic_len: int = 256                # synthetic dataset size
 
     def finalize(self) -> "Config":
@@ -173,6 +186,12 @@ def _add_args(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--synthetic_len", default=c.synthetic_len, type=int)
     parser.add_argument("--ckpt_every_epochs", default=c.ckpt_every_epochs, type=int)
     parser.add_argument("--log_every", default=c.log_every, type=int)
+    parser.add_argument("--profile_dir", default=c.profile_dir, type=str)
+    parser.add_argument("--profile_steps", default=c.profile_steps, type=int)
+    parser.add_argument("--ntxent_weight", default=c.ntxent_weight, type=float)
+    parser.add_argument("--s2d_stem", action="store_true")
+    parser.add_argument("--pallas_augment", default=c.pallas_augment,
+                        choices=["auto", "on", "off"])
 
 
 def parse_opts(argv: Optional[List[str]] = None) -> Config:

@@ -89,6 +89,8 @@ def backbone_feat_dim(arch: str, depth: int = 1) -> int:
 def _r21d_ctor(depth: int, dtype, proj_flag: bool, **kw):
     from cstp_tpu.models.r21d import LAYER_SIZES, R2Plus1DNet
 
+    kw.pop("shortcut", None)  # ResNet3D-only knob
+    kw.pop("s2d_stem", None)  # s3d-only knob
     sizes = LAYER_SIZES.get(depth, (1, 1, 1, 1))
     return R2Plus1DNet(layer_sizes=sizes, proj_flag=proj_flag, dtype=dtype, **kw)
 
@@ -102,6 +104,8 @@ register_backbone(
 def _c3d_ctor(depth: int, dtype, proj_flag: bool, **kw):
     from cstp_tpu.models.c3d import C3D
 
+    kw.pop("shortcut", None)
+    kw.pop("s2d_stem", None)
     return C3D(dtype=dtype, **kw)  # reference C3D has no projector
 
 
@@ -115,6 +119,7 @@ register_backbone(
 def _r3d_ctor(depth: int, dtype, proj_flag: bool, **kw):
     from cstp_tpu.models.r3d import R3D_LAYERS, ResNet3D
 
+    kw.pop("s2d_stem", None)
     block, layers, expansion = R3D_LAYERS.get(depth, R3D_LAYERS[18])
     return ResNet3D(block=block, layers=layers, dtype=dtype, **kw)
 
@@ -140,6 +145,7 @@ register_backbone("r3d", _r3d_ctor, _r3d_spec)
 def _s3d_ctor(depth: int, dtype, proj_flag: bool, **kw):
     from cstp_tpu.models.s3dg import S3D
 
+    kw.pop("shortcut", None)
     kw.setdefault("gating", True)   # model.py:57 s3d_byol uses gating=True
     kw.setdefault("slow", False)
     return S3D(proj_flag=proj_flag, dtype=dtype, **kw)
@@ -154,6 +160,8 @@ register_backbone(
 def _i3d_ctor(depth: int, dtype, proj_flag: bool, **kw):
     from cstp_tpu.models.i3d import I3D
 
+    kw.pop("shortcut", None)
+    kw.pop("s2d_stem", None)
     return I3D(dtype=dtype, **kw)
 
 

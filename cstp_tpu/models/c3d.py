@@ -18,6 +18,7 @@ from cstp_tpu.models.layers import BatchNorm, glorot_conv_init, max_pool_3d
 class _ConvBNReLU(nn.Module):
     features: int
     dtype: Any = jnp.bfloat16
+    bn_groups: int = 1
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -27,7 +28,7 @@ class _ConvBNReLU(nn.Module):
             dtype=self.dtype, param_dtype=jnp.float32,
             kernel_init=glorot_conv_init(), name="conv",
         )(x)
-        x = BatchNorm(dtype=self.dtype, name="bn")(x, not train)
+        x = BatchNorm(dtype=self.dtype, groups=self.bn_groups, name="bn")(x, not train)
         return nn.relu(x).astype(self.dtype)
 
 
@@ -35,21 +36,22 @@ class C3D(nn.Module):
     """512-d feature extractor (c3d_byol.py:70-107)."""
 
     dtype: Any = jnp.bfloat16
+    bn_groups: int = 1
     proj_flag: bool = False  # accepted for API parity; C3D has no projector
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         x = x.astype(self.dtype)
-        x = _ConvBNReLU(64, dtype=self.dtype, name="conv1")(x, train)
+        x = _ConvBNReLU(64, dtype=self.dtype, bn_groups=self.bn_groups, name="conv1")(x, train)
         x = max_pool_3d(x, (1, 2, 2), (1, 2, 2))
-        x = _ConvBNReLU(128, dtype=self.dtype, name="conv2")(x, train)
+        x = _ConvBNReLU(128, dtype=self.dtype, bn_groups=self.bn_groups, name="conv2")(x, train)
         x = max_pool_3d(x, (2, 2, 2), (2, 2, 2))
-        x = _ConvBNReLU(256, dtype=self.dtype, name="conv3a")(x, train)
-        x = _ConvBNReLU(256, dtype=self.dtype, name="conv3b")(x, train)
+        x = _ConvBNReLU(256, dtype=self.dtype, bn_groups=self.bn_groups, name="conv3a")(x, train)
+        x = _ConvBNReLU(256, dtype=self.dtype, bn_groups=self.bn_groups, name="conv3b")(x, train)
         x = max_pool_3d(x, (2, 2, 2), (2, 2, 2))
-        x = _ConvBNReLU(512, dtype=self.dtype, name="conv4a")(x, train)
-        x = _ConvBNReLU(512, dtype=self.dtype, name="conv4b")(x, train)
+        x = _ConvBNReLU(512, dtype=self.dtype, bn_groups=self.bn_groups, name="conv4a")(x, train)
+        x = _ConvBNReLU(512, dtype=self.dtype, bn_groups=self.bn_groups, name="conv4b")(x, train)
         x = max_pool_3d(x, (2, 2, 2), (2, 2, 2))
-        x = _ConvBNReLU(512, dtype=self.dtype, name="conv5a")(x, train)
-        x = _ConvBNReLU(512, dtype=self.dtype, name="conv5b")(x, train)
+        x = _ConvBNReLU(512, dtype=self.dtype, bn_groups=self.bn_groups, name="conv5a")(x, train)
+        x = _ConvBNReLU(512, dtype=self.dtype, bn_groups=self.bn_groups, name="conv5b")(x, train)
         return jnp.mean(x.astype(jnp.float32), axis=(1, 2, 3))  # (B, 512)

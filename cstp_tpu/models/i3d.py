@@ -42,6 +42,7 @@ class Unit3D(nn.Module):
     use_bn: bool = True
     activation: bool = True
     dtype: Any = jnp.bfloat16
+    bn_groups: int = 1
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -52,7 +53,7 @@ class Unit3D(nn.Module):
             kernel_init=glorot_conv_init(), name="conv",
         )(x)
         if self.use_bn:
-            x = BatchNorm(dtype=self.dtype, name="bn")(x, not train)
+            x = BatchNorm(dtype=self.dtype, groups=self.bn_groups, name="bn")(x, not train)
         if self.activation:
             x = nn.relu(x)
         return x.astype(self.dtype)
@@ -63,21 +64,22 @@ class Mixed(nn.Module):
 
     out_channels: Sequence[int]  # [b0, b1a, b1b, b2a, b2b, b3]
     dtype: Any = jnp.bfloat16
+    bn_groups: int = 1
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         c = self.out_channels
-        x0 = Unit3D(c[0], dtype=self.dtype, name="branch_0")(x, train)
-        x1 = Unit3D(c[1], dtype=self.dtype, name="branch_1_0")(x, train)
-        x1 = Unit3D(c[2], (3, 3, 3), dtype=self.dtype, name="branch_1_1")(
+        x0 = Unit3D(c[0], dtype=self.dtype, bn_groups=self.bn_groups, name="branch_0")(x, train)
+        x1 = Unit3D(c[1], dtype=self.dtype, bn_groups=self.bn_groups, name="branch_1_0")(x, train)
+        x1 = Unit3D(c[2], (3, 3, 3), dtype=self.dtype, bn_groups=self.bn_groups, name="branch_1_1")(
             x1, train
         )
-        x2 = Unit3D(c[3], dtype=self.dtype, name="branch_2_0")(x, train)
-        x2 = Unit3D(c[4], (3, 3, 3), dtype=self.dtype, name="branch_2_1")(
+        x2 = Unit3D(c[3], dtype=self.dtype, bn_groups=self.bn_groups, name="branch_2_0")(x, train)
+        x2 = Unit3D(c[4], (3, 3, 3), dtype=self.dtype, bn_groups=self.bn_groups, name="branch_2_1")(
             x2, train
         )
         x3 = max_pool_3d_same(x, (3, 3, 3), (1, 1, 1))
-        x3 = Unit3D(c[5], dtype=self.dtype, name="branch_3_1")(x3, train)
+        x3 = Unit3D(c[5], dtype=self.dtype, bn_groups=self.bn_groups, name="branch_3_1")(x3, train)
         return jnp.concatenate([x0, x1, x2, x3], axis=-1)
 
 
@@ -92,37 +94,38 @@ class I3D(nn.Module):
     """
 
     dtype: Any = jnp.bfloat16
+    bn_groups: int = 1
     proj_flag: bool = False  # parity; BYOL uses the raw normalized feature
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         x = x.astype(self.dtype)
-        x = Unit3D(64, (7, 7, 7), (2, 2, 2), dtype=self.dtype,
+        x = Unit3D(64, (7, 7, 7), (2, 2, 2), dtype=self.dtype, bn_groups=self.bn_groups,
                    name="conv3d_1a_7x7")(x, train)
         x = max_pool_3d_same(x, (1, 3, 3), (1, 2, 2))
-        x = Unit3D(64, dtype=self.dtype, name="conv3d_2b_1x1")(x, train)
-        x = Unit3D(192, (3, 3, 3), dtype=self.dtype, name="conv3d_2c_3x3")(
+        x = Unit3D(64, dtype=self.dtype, bn_groups=self.bn_groups, name="conv3d_2b_1x1")(x, train)
+        x = Unit3D(192, (3, 3, 3), dtype=self.dtype, bn_groups=self.bn_groups, name="conv3d_2c_3x3")(
             x, train
         )
         x = max_pool_3d_same(x, (1, 3, 3), (1, 2, 2))
-        x = Mixed([64, 96, 128, 16, 32, 32], dtype=self.dtype,
+        x = Mixed([64, 96, 128, 16, 32, 32], dtype=self.dtype, bn_groups=self.bn_groups,
                   name="mixed_3b")(x, train)
-        x = Mixed([128, 128, 192, 32, 96, 64], dtype=self.dtype,
+        x = Mixed([128, 128, 192, 32, 96, 64], dtype=self.dtype, bn_groups=self.bn_groups,
                   name="mixed_3c")(x, train)
         x = max_pool_3d_same(x, (3, 3, 3), (2, 2, 2))
-        x = Mixed([192, 96, 208, 16, 48, 64], dtype=self.dtype,
+        x = Mixed([192, 96, 208, 16, 48, 64], dtype=self.dtype, bn_groups=self.bn_groups,
                   name="mixed_4b")(x, train)
-        x = Mixed([160, 112, 224, 24, 64, 64], dtype=self.dtype,
+        x = Mixed([160, 112, 224, 24, 64, 64], dtype=self.dtype, bn_groups=self.bn_groups,
                   name="mixed_4c")(x, train)
-        x = Mixed([128, 128, 256, 24, 64, 64], dtype=self.dtype,
+        x = Mixed([128, 128, 256, 24, 64, 64], dtype=self.dtype, bn_groups=self.bn_groups,
                   name="mixed_4d")(x, train)
-        x = Mixed([112, 144, 288, 32, 64, 64], dtype=self.dtype,
+        x = Mixed([112, 144, 288, 32, 64, 64], dtype=self.dtype, bn_groups=self.bn_groups,
                   name="mixed_4e")(x, train)
-        x = Mixed([256, 160, 320, 32, 128, 128], dtype=self.dtype,
+        x = Mixed([256, 160, 320, 32, 128, 128], dtype=self.dtype, bn_groups=self.bn_groups,
                   name="mixed_4f")(x, train)
         x = max_pool_3d_same(x, (2, 2, 2), (2, 2, 2))
-        x = Mixed([256, 160, 320, 32, 128, 128], dtype=self.dtype,
+        x = Mixed([256, 160, 320, 32, 128, 128], dtype=self.dtype, bn_groups=self.bn_groups,
                   name="mixed_5b")(x, train)
-        x = Mixed([384, 192, 384, 48, 128, 128], dtype=self.dtype,
+        x = Mixed([384, 192, 384, 48, 128, 128], dtype=self.dtype, bn_groups=self.bn_groups,
                   name="mixed_5c")(x, train)
         return jnp.mean(x.astype(jnp.float32), axis=(1, 2, 3))  # (B, 1024)

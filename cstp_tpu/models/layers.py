@@ -51,35 +51,95 @@ class BatchNorm(nn.Module):
     """BatchNorm with torch semantics (momentum 0.1 torch == 0.9 flax,
     eps 1e-5) and the reference's glorot-uniform scale init.
 
-    Batch statistics are computed over the GLOBAL batch: under jit/GSPMD a
-    mean over a sharded batch axis lowers to a cross-replica reduction, so
-    this is *correct* synchronous BN — unlike the reference, whose SyncBN
-    uses a single-rank process group and never actually syncs
-    (models/model.py:86-100).
+    ``groups=1`` (default, ``--sync_bn 1``): batch statistics are computed
+    over the GLOBAL batch — under jit/GSPMD a mean over a sharded batch axis
+    lowers to a cross-replica reduction, so this is *correct* synchronous BN,
+    unlike the reference whose SyncBN uses a single-rank process group and
+    never actually syncs (models/model.py:86-100).
+
+    ``groups=N`` (``--sync_bn 0``): per-replica statistics — the batch is
+    split into N groups along dim 0 (group g lives on data-shard g, so the
+    reduction stays local, no collectives) and each group is normalized with
+    its own mean/var. This reproduces the reference's *effective* per-GPU BN
+    behavior for accuracy-parity debugging. Running stats average the group
+    stats. Normalization math in f32 either way; output cast to ``dtype``
+    so bf16 activations stay bf16 through the BN->ReLU->conv chain.
     """
 
     use_running_average: Optional[bool] = None
     dtype: Dtype = jnp.float32
+    groups: int = 1
 
     @nn.compact
     def __call__(self, x, use_running_average: Optional[bool] = None):
         ura = nn.merge_param(
             "use_running_average", self.use_running_average, use_running_average
         )
-        return nn.BatchNorm(
-            use_running_average=ura,
-            momentum=0.9,
-            epsilon=1e-5,
-            dtype=jnp.float32,  # stats & normalization in f32
-            param_dtype=jnp.float32,
-            scale_init=bn_glorot_scale_init,
-            bias_init=nn.initializers.zeros,
-            name="bn",
-        )(x.astype(jnp.float32))
+        out_dtype = x.dtype if jnp.issubdtype(x.dtype, jnp.floating) else jnp.float32
+        if self.groups == 1:
+            y = nn.BatchNorm(
+                use_running_average=ura,
+                momentum=0.9,
+                epsilon=1e-5,
+                dtype=jnp.float32,  # stats & normalization in f32
+                param_dtype=jnp.float32,
+                scale_init=bn_glorot_scale_init,
+                bias_init=nn.initializers.zeros,
+                name="bn",
+            )(x.astype(jnp.float32))
+            return y.astype(out_dtype)
+        y = _GroupedBN(groups=self.groups, name="bn")(x, ura)
+        return y.astype(out_dtype)
+
+
+class _GroupedBN(nn.Module):
+    """Per-replica-statistics BN body; same param/stat names ('scale',
+    'bias' / 'mean', 'var') and paths as ``nn.BatchNorm(name='bn')`` so
+    checkpoints are interchangeable between the two modes."""
+
+    groups: int
+
+    @nn.compact
+    def __call__(self, x, use_running_average: bool):
+        c = x.shape[-1]
+        scale = self.param("scale", bn_glorot_scale_init, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((c,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((c,), jnp.float32))
+        xf = x.astype(jnp.float32)
+        if use_running_average:
+            return ((xf - ra_mean.value)
+                    * jax.lax.rsqrt(ra_var.value + 1e-5) * scale + bias)
+        g = self.groups
+        b = xf.shape[0]
+        assert b % g == 0, f"batch {b} not divisible by {g} BN groups"
+        gx = xf.reshape((g, b // g) + xf.shape[1:])
+        axes = tuple(range(1, gx.ndim - 1))
+        gmean = jnp.mean(gx, axis=axes)                      # (G, C)
+        gvar = jnp.mean(jnp.square(gx), axis=axes) - jnp.square(gmean)
+        bshape = (g,) + (1,) * (gx.ndim - 2) + (c,)
+        y = (gx - gmean.reshape(bshape)) * jax.lax.rsqrt(
+            gvar.reshape(bshape) + 1e-5)
+        y = y.reshape(xf.shape) * scale + bias
+        if not self.is_initializing():
+            ra_mean.value = 0.9 * ra_mean.value + 0.1 * jnp.mean(gmean, 0)
+            ra_var.value = 0.9 * ra_var.value + 0.1 * jnp.mean(gvar, 0)
+        return y
 
 
 class Conv3d(nn.Module):
-    """3D conv on NDHWC with explicit torch-style symmetric padding."""
+    """3D conv on NDHWC with explicit torch-style symmetric padding.
+
+    Uses the native XLA 3D convolution. Two decompositions were measured on
+    v5e and REJECTED (PERF.md "negative results"): (a) T-folded 2D spatial
+    convs — 6.4x faster in isolation but 2x SLOWER in-graph (XLA already
+    picks good layouts inside the fused train program; the fold breaks its
+    conv+BN-stat fusions); (b) kt-shifted-matmul temporal convs — faster in
+    isolation but the backward retains kt shifted activation copies and
+    exhausts HBM at the bench batch.
+    """
 
     features: int
     kernel: Tuple[int, int, int]
@@ -90,17 +150,29 @@ class Conv3d(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        pad = [(p, p) for p in self.padding]
-        return nn.Conv(
-            features=self.features,
-            kernel_size=self.kernel,
-            strides=self.stride,
-            padding=pad,
-            use_bias=self.use_bias,
-            dtype=self.dtype,
-            param_dtype=jnp.float32,
-            kernel_init=glorot_conv_init(),
-        )(x)
+        kt, kh, kw = self.kernel
+        st, sh, sw = self.stride
+        pt, ph, pw = self.padding
+        in_ch = x.shape[-1]
+        kernel = self.param(
+            "kernel", glorot_conv_init(),
+            (kt, kh, kw, in_ch, self.features), jnp.float32,
+        )
+        bias = (self.param("bias", nn.initializers.zeros,
+                           (self.features,), jnp.float32)
+                if self.use_bias else None)
+        xd = x.astype(self.dtype)
+        kd = kernel.astype(self.dtype)
+
+        del kt, kh, kw, st, sh, sw, pt, ph, pw
+        out = jax.lax.conv_general_dilated(
+            xd, kd, self.stride, [(p, p) for p in self.padding],
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+            preferred_element_type=self.dtype,
+        )
+        if bias is not None:
+            out = out + bias.astype(self.dtype)
+        return out
 
 
 def r21d_intermediate_channels(
@@ -127,6 +199,7 @@ class SpatioTemporalConv(nn.Module):
     stride: Tuple[int, int, int] = (1, 1, 1)
     padding: Tuple[int, int, int] = (0, 0, 0)
     dtype: Dtype = jnp.bfloat16
+    bn_groups: int = 1
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -137,7 +210,7 @@ class SpatioTemporalConv(nn.Module):
         mid = r21d_intermediate_channels(in_ch, self.features, self.kernel)
         x = Conv3d(mid, (1, kh, kw), (1, sh, sw), (0, ph, pw),
                    dtype=self.dtype, name="spatial_conv")(x)
-        x = BatchNorm(dtype=self.dtype, name="bn")(x, not train)
+        x = BatchNorm(dtype=self.dtype, groups=self.bn_groups, name="bn")(x, not train)
         x = nn.relu(x).astype(self.dtype)
         x = Conv3d(self.features, (kt, 1, 1), (st, 1, 1), (pt, 0, 0),
                    dtype=self.dtype, name="temporal_conv")(x)
@@ -154,6 +227,7 @@ class MLPHead(nn.Module):
     hidden: int
     out: int
     dtype: Dtype = jnp.bfloat16
+    bn_groups: int = 1
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -166,7 +240,7 @@ class MLPHead(nn.Module):
             bias_init=torch_linear_bias_init(in_dim),
             name="fc1",
         )(x)
-        x = BatchNorm(dtype=self.dtype, name="bn")(x, not train)
+        x = BatchNorm(dtype=self.dtype, groups=self.bn_groups, name="bn")(x, not train)
         x = nn.relu(x).astype(self.dtype)
         x = nn.Dense(
             self.out,
@@ -194,11 +268,12 @@ class PretextHead(nn.Module):
     hidden: int
     out: int
     dtype: Dtype = jnp.bfloat16
+    bn_groups: int = 1
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         if self.style == "mlp":
-            return MLPHead(self.hidden, self.out, dtype=self.dtype,
+            return MLPHead(self.hidden, self.out, dtype=self.dtype, bn_groups=self.bn_groups,
                            name="mlp")(x, train)
         in_dim = x.shape[-1]
         return nn.Dense(

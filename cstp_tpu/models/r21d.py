@@ -34,28 +34,29 @@ class SpatioTemporalResBlock(nn.Module):
     features: int
     downsample: bool = False
     dtype: Any = jnp.bfloat16
+    bn_groups: int = 1
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         stride = (2, 2, 2) if self.downsample else (1, 1, 1)
         res = SpatioTemporalConv(
             self.features, (3, 3, 3), stride, (1, 1, 1),
-            dtype=self.dtype, name="conv1",
+            dtype=self.dtype, bn_groups=self.bn_groups, name="conv1",
         )(x, train)
-        res = BatchNorm(dtype=self.dtype, name="bn1")(res, not train)
+        res = BatchNorm(dtype=self.dtype, groups=self.bn_groups, name="bn1")(res, not train)
         res = nn.relu(res).astype(self.dtype)
         res = SpatioTemporalConv(
             self.features, (3, 3, 3), (1, 1, 1), (1, 1, 1),
-            dtype=self.dtype, name="conv2",
+            dtype=self.dtype, bn_groups=self.bn_groups, name="conv2",
         )(res, train)
-        res = BatchNorm(dtype=self.dtype, name="bn2")(res, not train)
+        res = BatchNorm(dtype=self.dtype, groups=self.bn_groups, name="bn2")(res, not train)
 
         if self.downsample:
             x = SpatioTemporalConv(
                 self.features, (1, 1, 1), (2, 2, 2), (0, 0, 0),
-                dtype=self.dtype, name="downsampleconv",
+                dtype=self.dtype, bn_groups=self.bn_groups, name="downsampleconv",
             )(x, train)
-            x = BatchNorm(dtype=self.dtype, name="downsamplebn")(x, not train)
+            x = BatchNorm(dtype=self.dtype, groups=self.bn_groups, name="downsamplebn")(x, not train)
 
         return nn.relu(x.astype(jnp.float32) + res.astype(jnp.float32)).astype(
             self.dtype
@@ -90,15 +91,16 @@ class R2Plus1DNet(nn.Module):
     layer_sizes: Tuple[int, int, int, int] = (1, 1, 1, 1)
     proj_flag: bool = False
     dtype: Any = jnp.bfloat16
+    bn_groups: int = 1
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         # stem: (3,7,7) stride (1,2,2) factorized conv + BN + ReLU
         x = x.astype(self.dtype)
         x = SpatioTemporalConv(
-            64, (3, 7, 7), (1, 2, 2), (1, 3, 3), dtype=self.dtype, name="conv1"
+            64, (3, 7, 7), (1, 2, 2), (1, 3, 3), dtype=self.dtype, bn_groups=self.bn_groups, name="conv1"
         )(x, train)
-        x = BatchNorm(dtype=self.dtype, name="bn1")(x, not train)
+        x = BatchNorm(dtype=self.dtype, groups=self.bn_groups, name="bn1")(x, not train)
         x = nn.relu(x).astype(self.dtype)
         x = SpatioTemporalResLayer(
             64, self.layer_sizes[0], False, dtype=self.dtype, name="conv2"
@@ -116,6 +118,6 @@ class R2Plus1DNet(nn.Module):
         # AdaptiveAvgPool3d output feeding f32 heads
         feat = jnp.mean(x.astype(jnp.float32), axis=(1, 2, 3))
         if self.proj_flag:
-            proj = MLPHead(4096, 512, dtype=self.dtype, name="project")(feat, train)
+            proj = MLPHead(4096, 512, dtype=self.dtype, bn_groups=self.bn_groups, name="project")(feat, train)
             return feat, proj
         return feat

@@ -44,16 +44,17 @@ class _BasicBlock(nn.Module):
     stride: int = 1
     shortcut: str = "B"
     dtype: Any = jnp.bfloat16
+    bn_groups: int = 1
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         s = (self.stride,) * 3
         out = _conv(self.planes, (3, 3, 3), s, (1, 1, 1), self.dtype, "conv1")(x)
-        out = BatchNorm(dtype=self.dtype, name="bn1")(out, not train)
+        out = BatchNorm(dtype=self.dtype, groups=self.bn_groups, name="bn1")(out, not train)
         out = nn.relu(out).astype(self.dtype)
         out = _conv(self.planes, (3, 3, 3), (1, 1, 1), (1, 1, 1), self.dtype,
                     "conv2")(out)
-        out = BatchNorm(dtype=self.dtype, name="bn2")(out, not train)
+        out = BatchNorm(dtype=self.dtype, groups=self.bn_groups, name="bn2")(out, not train)
         res = _shortcut(self, x, self.planes, self.stride, train)
         return nn.relu(out.astype(jnp.float32) + res.astype(jnp.float32)).astype(
             self.dtype
@@ -65,20 +66,21 @@ class _Bottleneck(nn.Module):
     stride: int = 1
     shortcut: str = "B"
     dtype: Any = jnp.bfloat16
+    bn_groups: int = 1
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         s = (self.stride,) * 3
         out = _conv(self.planes, (1, 1, 1), (1, 1, 1), (0, 0, 0), self.dtype,
                     "conv1")(x)
-        out = BatchNorm(dtype=self.dtype, name="bn1")(out, not train)
+        out = BatchNorm(dtype=self.dtype, groups=self.bn_groups, name="bn1")(out, not train)
         out = nn.relu(out).astype(self.dtype)
         out = _conv(self.planes, (3, 3, 3), s, (1, 1, 1), self.dtype, "conv2")(out)
-        out = BatchNorm(dtype=self.dtype, name="bn2")(out, not train)
+        out = BatchNorm(dtype=self.dtype, groups=self.bn_groups, name="bn2")(out, not train)
         out = nn.relu(out).astype(self.dtype)
         out = _conv(self.planes * 4, (1, 1, 1), (1, 1, 1), (0, 0, 0), self.dtype,
                     "conv3")(out)
-        out = BatchNorm(dtype=self.dtype, name="bn3")(out, not train)
+        out = BatchNorm(dtype=self.dtype, groups=self.bn_groups, name="bn3")(out, not train)
         res = _shortcut(self, x, self.planes * 4, self.stride, train)
         return nn.relu(out.astype(jnp.float32) + res.astype(jnp.float32)).astype(
             self.dtype
@@ -101,7 +103,7 @@ def _shortcut(mod: nn.Module, x, out_planes: int, stride: int, train: bool):
         return pooled
     out = _conv(out_planes, (1, 1, 1), (stride,) * 3, (0, 0, 0), mod.dtype,
                 "downsample_conv")(x)
-    return BatchNorm(dtype=mod.dtype, name="downsample_bn")(out, not train)
+    return BatchNorm(dtype=mod.dtype, groups=mod.bn_groups, name="downsample_bn")(out, not train)
 
 
 class ResNet3D(nn.Module):
@@ -111,6 +113,7 @@ class ResNet3D(nn.Module):
     layers: Tuple[int, int, int, int] = (2, 2, 2, 2)
     shortcut: str = "B"
     dtype: Any = jnp.bfloat16
+    bn_groups: int = 1
     proj_flag: bool = False  # parity; reference R3D has no projector
 
     @nn.compact
@@ -118,7 +121,7 @@ class ResNet3D(nn.Module):
         block_cls = _BasicBlock if self.block == "basic" else _Bottleneck
         x = x.astype(self.dtype)
         x = _conv(64, (7, 7, 7), (1, 2, 2), (3, 3, 3), self.dtype, "conv1")(x)
-        x = BatchNorm(dtype=self.dtype, name="bn1")(x, not train)
+        x = BatchNorm(dtype=self.dtype, groups=self.bn_groups, name="bn1")(x, not train)
         x = nn.relu(x).astype(self.dtype)
         x = max_pool_3d(x, (3, 3, 3), (2, 2, 2), (1, 1, 1))
         for li, (planes, blocks) in enumerate(

@@ -22,9 +22,9 @@ from flax import linen as nn
 
 from cstp_tpu.models.layers import (
     BatchNorm,
+    Conv3d,
     MLPHead,
     SelfGating,
-    glorot_conv_init,
     max_pool_3d,
 )
 
@@ -45,16 +45,13 @@ class BasicConv3d(nn.Module):
     stride: Tuple[int, int, int] = (1, 1, 1)
     padding: Tuple[int, int, int] = (0, 0, 0)
     dtype: Any = jnp.bfloat16
+    bn_groups: int = 1
 
     @nn.compact
     def __call__(self, x, train: bool = True):
-        x = nn.Conv(
-            self.features, self.kernel, self.stride,
-            [(p, p) for p in self.padding], use_bias=False,
-            dtype=self.dtype, param_dtype=jnp.float32,
-            kernel_init=glorot_conv_init(), name="conv",
-        )(x)
-        x = BatchNorm(dtype=self.dtype, name="bn")(x, not train)
+        x = Conv3d(self.features, self.kernel, self.stride, self.padding,
+                   dtype=self.dtype, name="conv")(x)
+        x = BatchNorm(dtype=self.dtype, groups=self.bn_groups, name="bn")(x, not train)
         return nn.relu(x).astype(self.dtype)
 
 
@@ -67,26 +64,19 @@ class STConv3d(nn.Module):
     stride: Tuple[int, int, int] = (1, 1, 1)
     padding: int = 0
     dtype: Any = jnp.bfloat16
+    bn_groups: int = 1
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         k, p = self.kernel, self.padding
         ts, ss = self.stride[0], self.stride[-1]
-        x = nn.Conv(
-            self.features, (1, k, k), (1, ss, ss),
-            [(0, 0), (p, p), (p, p)], use_bias=False,
-            dtype=self.dtype, param_dtype=jnp.float32,
-            kernel_init=glorot_conv_init(), name="conv1",
-        )(x)
-        x = BatchNorm(dtype=self.dtype, name="bn1")(x, not train)
+        x = Conv3d(self.features, (1, k, k), (1, ss, ss), (0, p, p),
+                   dtype=self.dtype, name="conv1")(x)
+        x = BatchNorm(dtype=self.dtype, groups=self.bn_groups, name="bn1")(x, not train)
         x = nn.relu(x).astype(self.dtype)
-        x = nn.Conv(
-            self.features, (k, 1, 1), (ts, 1, 1),
-            [(p, p), (0, 0), (0, 0)], use_bias=False,
-            dtype=self.dtype, param_dtype=jnp.float32,
-            kernel_init=glorot_conv_init(), name="conv2",
-        )(x)
-        x = BatchNorm(dtype=self.dtype, name="bn2")(x, not train)
+        x = Conv3d(self.features, (k, 1, 1), (ts, 1, 1), (p, 0, 0),
+                   dtype=self.dtype, name="conv2")(x)
+        x = BatchNorm(dtype=self.dtype, groups=self.bn_groups, name="bn2")(x, not train)
         return nn.relu(x).astype(self.dtype)
 
 
@@ -96,19 +86,20 @@ class SepInception(nn.Module):
     out_planes: Sequence[int]  # [b0, b1a, b1b, b2a, b2b, b3b]
     gating: bool = False
     dtype: Any = jnp.bfloat16
+    bn_groups: int = 1
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         p0, p1a, p1b, p2a, p2b, p3b = self.out_planes
-        x0 = BasicConv3d(p0, dtype=self.dtype, name="branch0")(x, train)
-        x1 = BasicConv3d(p1a, dtype=self.dtype, name="branch1_0")(x, train)
-        x1 = STConv3d(p1b, 3, (1, 1, 1), 1, dtype=self.dtype,
+        x0 = BasicConv3d(p0, dtype=self.dtype, bn_groups=self.bn_groups, name="branch0")(x, train)
+        x1 = BasicConv3d(p1a, dtype=self.dtype, bn_groups=self.bn_groups, name="branch1_0")(x, train)
+        x1 = STConv3d(p1b, 3, (1, 1, 1), 1, dtype=self.dtype, bn_groups=self.bn_groups,
                       name="branch1_1")(x1, train)
-        x2 = BasicConv3d(p2a, dtype=self.dtype, name="branch2_0")(x, train)
-        x2 = STConv3d(p2b, 3, (1, 1, 1), 1, dtype=self.dtype,
+        x2 = BasicConv3d(p2a, dtype=self.dtype, bn_groups=self.bn_groups, name="branch2_0")(x, train)
+        x2 = STConv3d(p2b, 3, (1, 1, 1), 1, dtype=self.dtype, bn_groups=self.bn_groups,
                       name="branch2_1")(x2, train)
         x3 = max_pool_3d(x, (3, 3, 3), (1, 1, 1), (1, 1, 1))
-        x3 = BasicConv3d(p3b, dtype=self.dtype, name="branch3_1")(x3, train)
+        x3 = BasicConv3d(p3b, dtype=self.dtype, bn_groups=self.bn_groups, name="branch3_1")(x3, train)
         if self.gating:
             x0 = SelfGating(dtype=self.dtype, name="gating_b0")(x0)
             x1 = SelfGating(dtype=self.dtype, name="gating_b1")(x1)
@@ -135,34 +126,49 @@ class S3D(nn.Module):
 
     gating: bool = True
     slow: bool = False
+    s2d_stem: bool = False
     proj_flag: bool = False
     dtype: Any = jnp.bfloat16
+    bn_groups: int = 1
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         x = x.astype(self.dtype)
-        stem_stride = (1, 2, 2) if self.slow else (2, 2, 2)
-        x = STConv3d(64, 7, stem_stride, 3, dtype=self.dtype,
-                     name="Conv_1a")(x, train)
+        if self.s2d_stem:
+            # legacy pace S3D-G "space to depth trick for TPU optimization"
+            # (s3d_g.py:229-231, 281-299): s2d(2,2,2) then a stride-1
+            # non-separable (2,4,4) stem conv, trimming one leading plane
+            # per spatial-temporal axis to replicate TF-SAME alignment.
+            assert not self.slow, "s2d_stem and slow stem are exclusive"
+            x = space_to_depth_stem(x)
+            x = BasicConv3d(64, (2, 4, 4), (1, 1, 1), (1, 2, 2),
+                            dtype=self.dtype, bn_groups=self.bn_groups,
+                            name="Conv_1a")(x, train)
+            x = x[:, 1:, 1:, 1:, :]
+        else:
+            stem_stride = (1, 2, 2) if self.slow else (2, 2, 2)
+            x = STConv3d(64, 7, stem_stride, 3, dtype=self.dtype,
+                         bn_groups=self.bn_groups,
+                         name="Conv_1a")(x, train)
         x = max_pool_3d(x, (1, 3, 3), (1, 2, 2), (0, 1, 1))
-        x = BasicConv3d(64, dtype=self.dtype, name="Conv_2b")(x, train)
-        x = STConv3d(192, 3, (1, 1, 1), 1, dtype=self.dtype,
+        x = BasicConv3d(64, dtype=self.dtype, bn_groups=self.bn_groups, name="Conv_2b")(x, train)
+        x = STConv3d(192, 3, (1, 1, 1), 1, dtype=self.dtype, bn_groups=self.bn_groups,
                      name="Conv_2c")(x, train)
         x = max_pool_3d(x, (1, 3, 3), (1, 2, 2), (0, 1, 1))
         for i, plan in enumerate(_MIXED_3):
-            x = SepInception(plan, self.gating, dtype=self.dtype,
+            x = SepInception(plan, self.gating, dtype=self.dtype, bn_groups=self.bn_groups,
                              name=f"Mixed_3{'bc'[i]}")(x, train)
         x = max_pool_3d(x, (3, 3, 3), (2, 2, 2), (1, 1, 1))
         for i, plan in enumerate(_MIXED_4):
-            x = SepInception(plan, self.gating, dtype=self.dtype,
+            x = SepInception(plan, self.gating, dtype=self.dtype, bn_groups=self.bn_groups,
                              name=f"Mixed_4{'bcdef'[i]}")(x, train)
         x = max_pool_3d(x, (2, 2, 2), (2, 2, 2), (0, 0, 0))
         for i, plan in enumerate(_MIXED_5):
-            x = SepInception(plan, self.gating, dtype=self.dtype,
+            x = SepInception(plan, self.gating, dtype=self.dtype, bn_groups=self.bn_groups,
                              name=f"Mixed_5{'bc'[i]}")(x, train)
         feat = jnp.mean(x.astype(jnp.float32), axis=(1, 2, 3))  # (B, 1024)
         if self.proj_flag:
-            proj = MLPHead(1024, 1024, dtype=self.dtype, name="project")(
+            proj = MLPHead(1024, 1024, dtype=self.dtype, bn_groups=self.bn_groups, name="project")(
                 feat, train
             )
             return feat, proj

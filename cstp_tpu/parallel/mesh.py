@@ -21,11 +21,60 @@ mesh spans all hosts' devices and collectives ride ICI/DCN — no code change.
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Sequence, Tuple
 
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+_DIST_INITIALIZED = False
+
+
+def maybe_initialize_distributed() -> bool:
+    """Multi-host rendezvous — the ``dist.init_process_group(init_method=
+    'env://')`` equivalent (reference main_byol.py:171-174).
+
+    Called by every CLI before building the mesh. Initializes
+    ``jax.distributed`` when either
+
+    * explicit env rendezvous is configured — ``CSTP_COORDINATOR`` (or
+      ``JAX_COORDINATOR_ADDRESS``) plus ``CSTP_NUM_PROCESSES``/
+      ``CSTP_PROCESS_ID`` (or jax's ``JAX_NUM_PROCESSES``/
+      ``JAX_PROCESS_ID``), mirroring torch's MASTER_ADDR/WORLD_SIZE/RANK; or
+    * ``CSTP_AUTO_DISTRIBUTED=1`` — TPU-pod auto-detection, where
+      ``jax.distributed.initialize()`` reads the cluster environment.
+
+    Returns True if initialization ran. Safe to call twice; no-op on
+    single-host runs (the mesh then spans local devices only).
+
+    Launch recipe (one process per host, all hosts):
+      CSTP_COORDINATOR=host0:1234 CSTP_NUM_PROCESSES=4 CSTP_PROCESS_ID=$i \\
+          python -m cstp_tpu.cli.main_byol ...
+    After initialize(), ``jax.devices()`` spans the slice; batches are fed
+    per-host (loader shards by process_index) and collectives ride ICI/DCN.
+    """
+    global _DIST_INITIALIZED
+    if _DIST_INITIALIZED:
+        return False
+    coord = os.environ.get("CSTP_COORDINATOR") or os.environ.get(
+        "JAX_COORDINATOR_ADDRESS")
+    nproc = os.environ.get("CSTP_NUM_PROCESSES") or os.environ.get(
+        "JAX_NUM_PROCESSES")
+    pid = os.environ.get("CSTP_PROCESS_ID") or os.environ.get(
+        "JAX_PROCESS_ID")
+    auto = os.environ.get("CSTP_AUTO_DISTRIBUTED") == "1"
+    if coord and nproc is not None and pid is not None:
+        jax.distributed.initialize(coordinator_address=coord,
+                                   num_processes=int(nproc),
+                                   process_id=int(pid))
+        _DIST_INITIALIZED = True
+        return True
+    if auto:
+        jax.distributed.initialize()
+        _DIST_INITIALIZED = True
+        return True
+    return False
 
 
 def create_mesh(
@@ -65,3 +114,40 @@ def replicate(mesh: Mesh, tree):
     """Replicate a pytree (params/opt state) across the mesh."""
     s = replicated_sharding(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), tree)
+
+
+# width of the BYOL projector/predictor hidden layers — the only matmuls in
+# this model family wide enough to be worth weight-sharding (r21d_byol.py:
+# 232-257: Linear(512,4096)/Linear(4096,512))
+MLP_WIDE_DIM = 4096
+
+
+def _model_spec(shape) -> P:
+    """Shape-based sharding rule for the 'model' axis: any tensor carrying
+    the 4096-wide MLP dimension is split over 'model'; everything else
+    (convs, BN, heads) is replicated. Applies uniformly to params, momentum
+    buffers, and batch_stats because they share shapes."""
+    if len(shape) == 2 and shape[1] == MLP_WIDE_DIM:
+        return P(None, "model")   # fc1 kernel: column-parallel
+    if len(shape) == 2 and shape[0] == MLP_WIDE_DIM:
+        return P("model", None)   # fc2 kernel: row-parallel
+    if len(shape) == 1 and shape[0] == MLP_WIDE_DIM:
+        return P("model")         # fc1 bias / hidden-BN scale/bias/stats
+    return P()
+
+
+def shard_state(mesh: Mesh, tree):
+    """device_put a train-state pytree with the 'model'-axis rules above.
+
+    With mesh model=1 this is exactly :func:`replicate`. With model>1 the
+    4096-wide tensors are tensor-parallel over 'model' and XLA inserts the
+    matching all-gather/reduce-scatter around the MLP matmuls (Megatron-style
+    column->row pairing falls out of the specs)."""
+    if mesh.shape.get("model", 1) == 1:
+        return replicate(mesh, tree)
+
+    def put(x):
+        x = np.asarray(x) if not hasattr(x, "shape") else x
+        return jax.device_put(x, NamedSharding(mesh, _model_spec(x.shape)))
+
+    return jax.tree_util.tree_map(put, tree)

@@ -84,60 +84,80 @@ class CSTPPretrain(nn.Module):
     backbone: str = "r21d"
     depth: int = 1
     dtype: Any = jnp.bfloat16
+    bn_groups: int = 1            # >1 = per-replica BN stats (--sync_bn 0)
+    shortcut: str = "B"           # ResNet3D A/B (--resnet_shortcut/--sc_type)
+    s2d_stem: bool = False        # s3d space-to-depth stem (--s2d_stem)
 
     def setup(self):
         spec = backbone_spec(self.backbone, self.depth)
         self.spec = spec
         use_proj = spec.proj_dim is not None
+        # The two views run through each tower as ONE batched call of 2B
+        # (half the kernel launches of the reference's two per-view calls).
+        # BN groups are doubled so statistics stay PER-VIEW — numerically
+        # the reference's per-forward-call batch stats (r21d_byol.py:358-372).
+        g2 = 2 * self.bn_groups
         self.online_net = make_backbone(
             self.backbone, self.depth, dtype=self.dtype, proj_flag=use_proj,
+            bn_groups=g2, shortcut=self.shortcut, s2d_stem=self.s2d_stem,
             name="online_net",
         )
         self.target_net = make_backbone(
             self.backbone, self.depth, dtype=self.dtype, proj_flag=use_proj,
+            bn_groups=g2, shortcut=self.shortcut, s2d_stem=self.s2d_stem,
             name="target_net",
         )
         self.predictor = MLPHead(spec.pred_hidden, spec.pred_dim,
-                                 dtype=self.dtype, name="predictor")
+                                 dtype=self.dtype, bn_groups=g2, name="predictor")
         f = spec.feat_dim
         self.overlap_spa = PretextHead(spec.head_style, 2 * f, spec.n_spa,
-                                       dtype=self.dtype, name="overlap_spa")
+                                       dtype=self.dtype, bn_groups=self.bn_groups, name="overlap_spa")
         self.overlap_tem = PretextHead(spec.head_style, 2 * f, spec.n_tem,
-                                       dtype=self.dtype, name="overlap_tem")
+                                       dtype=self.dtype, bn_groups=self.bn_groups, name="overlap_tem")
         self.pb_cls = PretextHead(spec.head_style, f, spec.n_pb,
-                                  dtype=self.dtype, name="pb_cls")
+                                  dtype=self.dtype, bn_groups=g2, name="pb_cls")
         self.rotate_cls = PretextHead(spec.head_style, f, spec.n_rot,
-                                      dtype=self.dtype, name="rotate_cls")
+                                      dtype=self.dtype, bn_groups=g2, name="rotate_cls")
 
-    def __call__(self, x1, x2, train: bool = True):
+    def __call__(self, x1, x2, train: bool = True, with_proj: bool = False):
         """o_type='loss_com' forward (r21d_byol.py:358-382).
 
         Returns (byol_loss_mean, (pred_spa, pred_tem, pb1, pb2, rot1, rot2)).
+        With ``with_proj=True`` additionally returns the two online
+        projections — input to the optional cross-replica NT-Xent term
+        (``--loss_weight`` extension; ssl/ntxent.py).
         """
         spec = self.spec
-        feat1, emb1 = _feat_and_proj(self.online_net(x1, train), spec)
-        feat2, emb2 = _feat_and_proj(self.online_net(x2, train), spec)
-        pred1 = self.predictor(emb1, train)
-        pred2 = self.predictor(emb2, train)
+        x12 = jnp.concatenate([x1, x2], axis=0)  # (2B, ...) one tower call
+        feats, embs = _feat_and_proj(self.online_net(x12, train), spec)
+        preds = self.predictor(embs, train)
+        pred1, pred2 = jnp.split(preds, 2, axis=0)
+        feat1, feat2 = jnp.split(feats, 2, axis=0)
 
-        _, temb1 = _feat_and_proj(self.target_net(x1, train), spec)
-        _, temb2 = _feat_and_proj(self.target_net(x2, train), spec)
-        temb1 = jax.lax.stop_gradient(temb1)
-        temb2 = jax.lax.stop_gradient(temb2)
+        tout = self.target_net(x12, train)
+        _, tembs = _feat_and_proj(tout, spec)
+        temb1, temb2 = jnp.split(jax.lax.stop_gradient(tembs), 2, axis=0)
 
         loss = byol_regression_loss(pred1, temb2) + byol_regression_loss(
             pred2, temb1
         )
 
         feat_cat = jnp.concatenate([feat1, feat2], axis=-1)
+        pbs = self.pb_cls(feats, train)
+        rots = self.rotate_cls(feats, train)
+        pb1, pb2 = jnp.split(pbs, 2, axis=0)
+        rot1, rot2 = jnp.split(rots, 2, axis=0)
         out = (
             self.overlap_spa(feat_cat, train),
             self.overlap_tem(feat_cat, train),
-            self.pb_cls(feat1, train),
-            self.pb_cls(feat2, train),
-            self.rotate_cls(feat1, train),
-            self.rotate_cls(feat2, train),
+            pb1,
+            pb2,
+            rot1,
+            rot2,
         )
+        if with_proj:
+            emb1, emb2 = jnp.split(embs, 2, axis=0)
+            return jnp.mean(loss), out, (emb1, emb2)
         return jnp.mean(loss), out
 
     def embed(self, x, train: bool = False):
@@ -155,16 +175,22 @@ class CSTPClassify(nn.Module):
     num_classes: int = 101
     cls_bn: bool = True
     dtype: Any = jnp.bfloat16
+    bn_groups: int = 1
+    shortcut: str = "B"
+    s2d_stem: bool = False
 
     def setup(self):
         spec = backbone_spec(self.backbone, self.depth)
         self.spec = spec
         self.online_net = make_backbone(
             self.backbone, self.depth, dtype=self.dtype, proj_flag=False,
+            bn_groups=self.bn_groups, shortcut=self.shortcut,
+            s2d_stem=self.s2d_stem,
             name="online_net",
         )
         if self.cls_bn:
-            self.cls_bn_mod = BatchNorm(dtype=self.dtype, name="cls_bn")
+            self.cls_bn_mod = BatchNorm(dtype=self.dtype,
+                                        groups=self.bn_groups, name="cls_bn")
         self.classify = nn.Dense(
             self.num_classes,
             dtype=jnp.float32,

@@ -23,13 +23,14 @@ from cstp_tpu.data.loader import (
     PretrainLoader,
     prefetch_to_device,
 )
-from cstp_tpu.parallel import create_mesh, replicate
+from cstp_tpu.parallel import create_mesh, shard_state
 from cstp_tpu.train import optim
 from cstp_tpu.train.finetune import (
     create_finetune_state,
     make_eval_step,
     make_finetune_step,
     make_logits_step,
+    pad_windows_to_bucket,
     sliding_window_indices,
 )
 from cstp_tpu.train.meters import AverageMeter, Logger, StepTimer
@@ -51,6 +52,13 @@ def build_dataset(config: Config, data_type: str):
             config.frame_dir, config.annotation_path, config.split,
             data_type=data_type,
         )
+    if config.data_backend == "lmdb":
+        from cstp_tpu.data.lmdb_dataset import LMDBVideoDataset
+
+        return LMDBVideoDataset(
+            config.lmdb_path, config.annotation_path, dataset=config.dataset,
+            data_type=data_type, split=config.split,
+        )
     if config.data_backend == "packed":
         path = config.lmdb_path
         if data_type != "train":
@@ -69,7 +77,11 @@ def build_dataset(config: Config, data_type: str):
 
 
 def _log_dir(config: Config) -> str:
-    # reference layout: result_path/dataset/task (main_byol.py:177)
+    # reference layout: result_path/dataset/task (main_byol.py:177). On
+    # resume, keep writing where the original run did (logger append mode,
+    # utils.py:33-35) — the checkpoint's parent directory.
+    if config.task == "resume" and config.resume_md_path:
+        return os.path.dirname(os.path.abspath(config.resume_md_path))
     d = os.path.join(config.result_path, config.dataset, config.task)
     os.makedirs(d, exist_ok=True)
     return d
@@ -78,6 +90,8 @@ def _log_dir(config: Config) -> str:
 def run_pretrain(config: Config, max_steps_per_epoch: int = 0) -> Dict:
     """Pretrain driver (reference main_byol.py main_worker + train_BYOL)."""
     assert config.task in ("loss_com", "r_byol", "resume")
+    if config.steps_per_epoch and not max_steps_per_epoch:
+        max_steps_per_epoch = config.steps_per_epoch
     mesh = create_mesh(config.mesh_shape, config.mesh_axes)
     dataset = build_dataset(config, "train")
     per_host_batch = config.batch_size // jax.process_count()
@@ -104,7 +118,7 @@ def run_pretrain(config: Config, max_steps_per_epoch: int = 0) -> Dict:
             params=tree["params"], batch_stats=tree["batch_stats"],
             opt_state=tree["opt_state"], step=jnp.asarray(tree["step"]),
         )
-    state = replicate(mesh, state)
+    state = shard_state(mesh, state)
 
     logger = Logger(
         os.path.join(
@@ -122,20 +136,62 @@ def run_pretrain(config: Config, max_steps_per_epoch: int = 0) -> Dict:
     )
     key = jax.random.PRNGKey(config.manual_seed + 17)
     history = []
+    n_batches = len(loader)
+    tracing = False
     for epoch in range(begin_epoch, config.n_epochs + 1):
         lr = jnp.asarray(lr_fn(epoch - 1), jnp.float32)
         timer = StepTimer()
+        step_meters = {
+            k: AverageMeter()
+            for k in ("loss", "loss_byol", "loss_pred_spa", "loss_pred_tem",
+                      "loss_pred_pb", "loss_pred_rot")
+        }
         epoch_metrics = []
         it = prefetch_to_device(loader.epoch(epoch), mesh,
                                 depth=config.prefetch_depth)
         for i, batch in enumerate(it):
             timer.data_tick()
+            # opt-in profiler capture of a few steady-state steps
+            # (SURVEY §5 rebuild requirement; reference has none)
+            if (config.profile_dir and epoch == begin_epoch and i == 2
+                    and jax.process_index() == 0):
+                jax.profiler.start_trace(config.profile_dir)
+                tracing = True
             key, sub = jax.random.split(key)
             state, metrics = step_fn(state, sub, batch, lr)
             epoch_metrics.append(metrics)
             timer.batch_tick()
+            if tracing and i + 1 >= 2 + config.profile_steps:
+                jax.block_until_ready(metrics["loss"])
+                jax.profiler.stop_trace()
+                tracing = False
+            if (config.log_every and (i + 1) % config.log_every == 0
+                    and jax.process_index() == 0):
+                # reference per-step console line (main_byol.py:93-117);
+                # fetching here syncs, so log_every trades visibility
+                # against dispatch pipelining
+                m = jax.device_get(metrics)
+                for k, meter in step_meters.items():
+                    meter.update(float(m[k]))
+                lt, lb = step_meters["loss"], step_meters["loss_byol"]
+                print(
+                    f"Epoch: [{epoch}][{i + 1}/{n_batches}]\t"
+                    f"Time {timer.batch_time.val:.3f} ({timer.batch_time.avg:.3f})\t"
+                    f"Data {timer.data_time.val:.3f} ({timer.data_time.avg:.3f})\t"
+                    f"Loss_byol {lb.val:.4f} ({lb.avg:.4f})\t"
+                    f"Loss_pred_spa {step_meters['loss_pred_spa'].val:.4f}\t"
+                    f"Loss_pred_tem {step_meters['loss_pred_tem'].val:.4f}\t"
+                    f"Loss_pred_pb {step_meters['loss_pred_pb'].val:.4f}\t"
+                    f"Loss_pred_rot {step_meters['loss_pred_rot'].val:.4f}\t"
+                    f"Loss_total {lt.val:.4f} ({lt.avg:.4f})\t"
+                    f"Lr {float(lr):.4}",
+                    flush=True,
+                )
             if max_steps_per_epoch and i + 1 >= max_steps_per_epoch:
                 break
+        if tracing:  # short epoch: close the trace cleanly
+            jax.profiler.stop_trace()
+            tracing = False
         fetched = jax.device_get(epoch_metrics)
         avg = {
             k: float(np.mean([m[k] for m in fetched])) for k in fetched[0]
@@ -148,7 +204,7 @@ def run_pretrain(config: Config, max_steps_per_epoch: int = 0) -> Dict:
             "loss_pred_tem": avg.get("loss_pred_tem"),
             "loss_pred_pb": avg.get("loss_pred_pb"),
             "loss_pred_rot": avg.get("loss_pred_rot"),
-            "acc": None,
+            "acc": avg.get("acc_pretext"),
             "lr": float(f"{float(lr):.5f}"),
         }
         if jax.process_index() == 0:
@@ -169,6 +225,8 @@ def run_finetune(config: Config, max_steps_per_epoch: int = 0) -> Dict:
     """Finetune driver (reference main_ft_mp.py): per-epoch train + val,
     ReduceLROnPlateau on val loss, best-val-only checkpoint retention."""
     assert config.task in ("ft_fc", "ft_all", "scratch", "resume")
+    if config.steps_per_epoch and not max_steps_per_epoch:
+        max_steps_per_epoch = config.steps_per_epoch
     mesh = create_mesh(config.mesh_shape, config.mesh_axes)
     train_ds = build_dataset(config, "train")
     val_ds = build_dataset(config, "val")
@@ -198,31 +256,82 @@ def run_finetune(config: Config, max_steps_per_epoch: int = 0) -> Dict:
         assert config.arch in arch or arch in config.arch, (arch, config.arch)
         state = state.replace(params=tree["params"],
                               batch_stats=tree["batch_stats"])
-    state = replicate(mesh, state)
+
+    plateau = optim.ReduceLROnPlateau(lr=config.learning_rate,
+                                      patience=config.lr_patience)
+    best = {"acc": -1.0, "path": None, "epoch": 0}
+    begin_epoch = 1
+    if config.task == "resume":
+        # restore params/opt/plateau/best from save_{E}_max — the path the
+        # reference accepts but never implements (main_ft_mp.py:295-310
+        # saves; no ft restore exists). Caller must pass the same
+        # --ft_begin_index as the original run (reference semantics:
+        # models/model.py:123-128 only overwrites it for ft_fc/ft_all).
+        assert config.resume_md_path, "finetune resume needs --resume_md_path"
+        tree, meta = ckpt_lib.restore_checkpoint(
+            config.resume_md_path,
+            {"params": state.params, "batch_stats": state.batch_stats,
+             "opt_state": state.opt_state, "step": state.step},
+        )
+        assert config.arch in str(meta.get("arch", config.arch))
+        state = state.replace(
+            params=tree["params"], batch_stats=tree["batch_stats"],
+            opt_state=tree["opt_state"], step=jnp.asarray(tree["step"]),
+        )
+        if "plateau" in meta:
+            plateau = optim.ReduceLROnPlateau.from_state_dict(meta["plateau"])
+        ep = ckpt_lib.epoch_from_name(config.resume_md_path)
+        best = {"acc": float(meta.get("best_acc", -1.0)),
+                "path": config.resume_md_path, "epoch": ep}
+        begin_epoch = int(meta.get("epoch", ep + 1))
+    state = shard_state(mesh, state)
 
     step_fn = make_finetune_step(model, tx, config)
     eval_fn = make_eval_step(model, config)
     log_dir = _log_dir(config)
     stem = (f"{config.dataset}_clip{config.sample_duration}"
             f"model{config.model_name}{config.model_depth}.log")
+    overlay = config.task != "resume"
     train_logger = Logger(os.path.join(log_dir, "train_" + stem),
-                          ["epoch", "loss", "acc", "lr"], overlay=True)
+                          ["epoch", "loss", "acc", "lr"], overlay=overlay)
     val_logger = Logger(os.path.join(log_dir, "val_" + stem),
-                        ["epoch", "loss", "acc"], overlay=True)
-    plateau = optim.ReduceLROnPlateau(lr=config.learning_rate,
-                                      patience=config.lr_patience)
+                        ["epoch", "loss", "acc"], overlay=overlay)
     key = jax.random.PRNGKey(config.manual_seed + 23)
-    best = {"acc": -1.0, "path": None, "epoch": 0}
     history = []
-    for epoch in range(1, config.n_epochs + 1):
+    n_batches = len(train_loader)
+    for epoch in range(begin_epoch, config.n_epochs + 1):
         lr = jnp.asarray(plateau.lr, jnp.float32)
         train_ms = []
+        timer = StepTimer()
+        loss_m, acc_m = AverageMeter(), AverageMeter()
         it = prefetch_to_device(train_loader.epoch(epoch), mesh,
                                 depth=config.prefetch_depth)
         for i, batch in enumerate(it):
+            timer.data_tick()
             key, sub = jax.random.split(key)
             state, metrics = step_fn(state, sub, batch, lr)
             train_ms.append(metrics)
+            timer.batch_tick()
+            if (config.log_every and (i + 1) % config.log_every == 0
+                    and jax.process_index() == 0):
+                # reference per-step line incl. the ETA-days estimate
+                # (main_ft_mp.py:218-234)
+                m = jax.device_get(metrics)
+                loss_m.update(float(m["loss"]))
+                acc_m.update(float(m["acc"]))
+                left_d = (timer.batch_time.avg
+                          * ((config.n_epochs - epoch) * n_batches
+                             + n_batches - i - 1)) / 3600 / 24
+                print(
+                    f"Epoch: [{epoch}][{i + 1}/{n_batches}]\t"
+                    f"Time {timer.batch_time.val:.3f} ({timer.batch_time.avg:.3f})\t"
+                    f"Data {timer.data_time.val:.3f} ({timer.data_time.avg:.3f})\t"
+                    f"Loss {loss_m.val:.4f} ({loss_m.avg:.4f})\t"
+                    f"Acc {acc_m.val:.3f} ({acc_m.avg:.3f})\t"
+                    f"Lr {plateau.lr:.6f}\t"
+                    f"Left {left_d:.1f}d",
+                    flush=True,
+                )
             if max_steps_per_epoch and i + 1 >= max_steps_per_epoch:
                 break
         val_ms = []
@@ -254,7 +363,8 @@ def run_finetune(config: Config, max_steps_per_epoch: int = 0) -> Dict:
                     {"params": state.params, "batch_stats": state.batch_stats,
                      "opt_state": state.opt_state, "step": state.step},
                     meta={"arch": config.arch, "epoch": epoch + 1,
-                          "plateau": plateau.state_dict()},
+                          "plateau": plateau.state_dict(),
+                          "best_acc": v_acc},
                 )
                 best = {"acc": v_acc, "path": path, "epoch": epoch}
         history.append({"epoch": epoch, "train_loss": t_loss, "train_acc": t_acc,
@@ -285,7 +395,7 @@ def run_test(config: Config, max_videos: int = 0) -> Dict:
     assert config.arch == str(meta.get("arch", config.arch))
     state = state.replace(params=tree["params"],
                           batch_stats=tree["batch_stats"])
-    state = replicate(mesh, state)
+    state = shard_state(mesh, state)
     logits_fn = make_logits_step(model, config)
 
     result_dir = os.path.join(config.result_path, config.dataset)
@@ -305,7 +415,10 @@ def run_test(config: Config, max_videos: int = 0) -> Dict:
         windows = sliding_window_indices(nframes, config.sample_duration,
                                          config.pb_rate)
         frames = np.stack([dataset.read_frames(i, w) for w in windows])
-        logits = np.asarray(logits_fn(state, jnp.asarray(frames)))
+        # pad to a window-count bucket: one compile per bucket, not per
+        # distinct video length
+        padded, n_real = pad_windows_to_bucket(frames)
+        logits = np.asarray(logits_fn(state, jnp.asarray(padded)))[:n_real]
         mean_logits = logits.mean(axis=0)
         pred5 = np.argsort(-mean_logits)[:5]
         correct += int(pred5[0] == label)

@@ -119,11 +119,45 @@ def param_labels(params, frozen_prefixes: Sequence[str]) -> Any:
     return jax.tree_util.tree_map_with_path(label, params)
 
 
+def trace_with_dampening(decay: float, dampening: float,
+                         nesterov: bool = False) -> optax.GradientTransformation:
+    """torch SGD momentum with dampening:
+    ``buf = decay*buf + (1-dampening)*grad`` — except on the very first step,
+    where torch seeds ``buf = grad`` with NO dampening (torch/optim/sgd.py).
+    The reference CLIs parse ``--dampening`` but never pass it to SGD
+    (main_byol.py:229-232 — torch default 0), so 0 is behavior parity; a
+    nonzero value makes the flag real here.
+    """
+
+    def init(params):
+        return {
+            "trace": jax.tree_util.tree_map(jnp.zeros_like, params),
+            "count": jnp.zeros((), jnp.int32),
+        }
+
+    def update(updates, state, params=None):
+        del params
+        damp = jnp.where(state["count"] > 0, dampening, 0.0)
+        new_trace = jax.tree_util.tree_map(
+            lambda g, t: decay * t + (1.0 - damp) * g, updates, state["trace"]
+        )
+        if nesterov:
+            out = jax.tree_util.tree_map(
+                lambda g, t: g + decay * t, updates, new_trace
+            )
+        else:
+            out = new_trace
+        return out, {"trace": new_trace, "count": state["count"] + 1}
+
+    return optax.GradientTransformation(init, update)
+
+
 def make_optimizer(
     name: str,
     *,
     momentum: float = 0.9,
     weight_decay: float = 1e-4,
+    dampening: float = 0.0,
     nesterov: bool = False,
     clip_grad_norm: Optional[float] = 18.0,
     labels: Any = None,
@@ -139,7 +173,10 @@ def make_optimizer(
     if name == "sgd":
         if weight_decay:
             chain.append(optax.add_decayed_weights(weight_decay))
-        chain.append(optax.trace(decay=momentum, nesterov=nesterov))
+        if dampening:
+            chain.append(trace_with_dampening(momentum, dampening, nesterov))
+        else:
+            chain.append(optax.trace(decay=momentum, nesterov=nesterov))
     elif name == "adam":
         if weight_decay:
             chain.append(optax.add_decayed_weights(weight_decay))
