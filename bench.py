@@ -5,21 +5,42 @@ Measures the FULL fused pretrain step — on-device CSTP augmentation
 pretext heads + clipped SGD — at the reference's headline config:
 R(2+1)D (layer_sizes 1,1,1,1), 16 frames x 112^2, bf16 compute.
 
-Prints ONE JSON line:
+Prints ONE JSON line on stdout:
   {"metric": "pretrain_clips_per_sec_per_chip", "value": N,
    "unit": "clips/s/chip", "vs_baseline": N/2000}
 
 "clips" counts dataset samples (clip PAIRS — each sample pushes 2 clips
 through 3 towers), matching the reference's per-sample batch accounting.
+
+Diagnostics (opt-in, stderr only):
+  --breakdown     time the augment and train programs separately
+  --cost          XLA cost analysis + roofline/MFU summary (see PERF.md)
+  --profile-dir D capture an xprof trace of the timed steps into D
+  --per-chip-bs N / --steps N  sweep knobs
 """
 
+import argparse
 import json
+import sys
 import time
 
 import numpy as np
 
 
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--per-chip-bs", type=int, default=32)
+    ap.add_argument("--steps", type=int, default=10)
+    ap.add_argument("--warmup", type=int, default=3)
+    ap.add_argument("--profile-dir", default=None)
+    ap.add_argument("--breakdown", action="store_true")
+    ap.add_argument("--cost", action="store_true")
+    args = ap.parse_args()
+
     import jax
     import jax.numpy as jnp
 
@@ -29,11 +50,12 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from cstp_tpu.config import Config
-    from cstp_tpu.parallel import create_mesh, replicate, shard_batch
+    from cstp_tpu.parallel import create_mesh, shard_batch, shard_state
     from cstp_tpu.train.pretrain import create_pretrain_state, make_pretrain_step
+    from cstp_tpu.utils import profiling
 
     n_dev = len(jax.devices())
-    per_chip_bs = 32
+    per_chip_bs = args.per_chip_bs
     cfg = Config(
         model_name="r21d",
         model_depth=1,
@@ -46,36 +68,87 @@ def main():
 
     mesh = create_mesh(cfg.mesh_shape, cfg.mesh_axes)
     model, state, tx = create_pretrain_state(cfg, jax.random.PRNGKey(0))
-    state = replicate(mesh, state)
+    state = shard_state(mesh, state)
     step = make_pretrain_step(model, tx, cfg)
 
     rng = np.random.default_rng(0)
     b, t, h0, w0 = cfg.batch_size, cfg.sample_duration, 128, 171
-    batch = shard_batch(mesh, {
-        "frames1": rng.integers(0, 255, (b, t, h0, w0, 3)).astype(np.uint8),
-        "frames2": rng.integers(0, 255, (b, t, h0, w0, 3)).astype(np.uint8),
-        "rot1": rng.integers(0, 4, (b,)).astype(np.int32),
-        "rot2": rng.integers(0, 4, (b,)).astype(np.int32),
-        "tem": rng.integers(0, 5, (b,)).astype(np.int32),
-        "pb": rng.integers(0, 4, (b,)).astype(np.int32),
-    })
+
+    def make_batch():
+        return shard_batch(mesh, {
+            "frames1": rng.integers(0, 255, (b, t, h0, w0, 3)).astype(np.uint8),
+            "frames2": rng.integers(0, 255, (b, t, h0, w0, 3)).astype(np.uint8),
+            "rot1": rng.integers(0, 4, (b,)).astype(np.int32),
+            "rot2": rng.integers(0, 4, (b,)).astype(np.int32),
+            "tem": rng.integers(0, 5, (b,)).astype(np.int32),
+            "pb": rng.integers(0, 4, (b,)).astype(np.int32),
+        })
+
+    batch = make_batch()
     lr = jnp.asarray(0.03, jnp.float32)
     key = jax.random.PRNGKey(1)
 
-    # warmup / compile
-    for i in range(3):
-        state, metrics = step(state, jax.random.fold_in(key, i), batch, lr)
+    # warmup / compile. The augment program donates its frame buffers, so
+    # re-shard a fresh batch each call.
+    for i in range(args.warmup):
+        state, metrics = step(state, jax.random.fold_in(key, i), make_batch(), lr)
     jax.block_until_ready(metrics["loss"])
 
-    n_steps = 10
-    t0 = time.perf_counter()
-    for i in range(n_steps):
-        state, metrics = step(state, jax.random.fold_in(key, 100 + i), batch, lr)
-    jax.block_until_ready(metrics["loss"])
-    dt = time.perf_counter() - t0
+    n_steps = args.steps
+    batches = [make_batch() for _ in range(n_steps)]
+    with profiling.trace(args.profile_dir):
+        t0 = time.perf_counter()
+        for i in range(n_steps):
+            state, metrics = step(state, jax.random.fold_in(key, 100 + i),
+                                  batches[i], lr)
+        jax.block_until_ready(metrics["loss"])
+        dt = time.perf_counter() - t0
 
     clips_per_sec = b * n_steps / dt
     per_chip = clips_per_sec / n_dev
+    step_s = dt / n_steps
+
+    if args.breakdown or args.cost:
+        from cstp_tpu.train.pretrain import split_pretrain_step
+        aug, train = split_pretrain_step(model, tx, cfg)
+        bt = make_batch()
+        vl = aug(jax.random.fold_in(key, 0), bt["frames1"], bt["frames2"],
+                 bt["rot1"], bt["rot2"])
+        views_labels = (vl[0], vl[1], vl[2], bt["tem"], bt["pb"],
+                        bt["rot1"], bt["rot2"])
+        if args.breakdown:
+            # aug timing (fresh donated buffers each call)
+            bts = [make_batch() for _ in range(n_steps)]
+            o = None
+            t0 = time.perf_counter()
+            for i in range(n_steps):
+                bti = bts[i]
+                o = aug(jax.random.fold_in(key, i), bti["frames1"],
+                        bti["frames2"], bti["rot1"], bti["rot2"])
+            jax.block_until_ready(o)
+            aug_s = (time.perf_counter() - t0) / n_steps
+            # train timing
+            st = state
+            m = None
+            t0 = time.perf_counter()
+            for i in range(n_steps):
+                st, m = train(st, views_labels, lr)
+            jax.block_until_ready(m["loss"])
+            train_s = (time.perf_counter() - t0) / n_steps
+            log(f"breakdown: step={step_s*1e3:.1f}ms  augment={aug_s*1e3:.1f}ms"
+                f"  train={train_s*1e3:.1f}ms  (b={b}, {n_dev} chip(s))")
+        if args.cost:
+            train_cost = profiling.compiled_cost(
+                lambda s, v: train(s, v, lr), state, views_labels)
+            aug_cost = profiling.compiled_cost(
+                lambda r, f1, f2, r1, r2: aug(r, f1, f2, r1, r2),
+                jax.random.fold_in(key, 0), bt["frames1"], bt["frames2"],
+                bt["rot1"], bt["rot2"])
+            log("train cost:", json.dumps(profiling.summarize(
+                train_cost, step_s), default=str, indent=2))
+            log("aug cost:", json.dumps(profiling.summarize(
+                aug_cost, step_s), default=str, indent=2))
+
     print(json.dumps({
         "metric": "pretrain_clips_per_sec_per_chip",
         "value": round(per_chip, 2),

@@ -25,7 +25,10 @@ import jax.numpy as jnp
 import optax
 from flax import struct
 
-from cstp_tpu.augment.pipeline import pretrain_augment_batch
+from cstp_tpu.augment.pipeline import (
+    pretrain_augment_batch,
+    pretrain_augment_batch_fused,
+)
 from cstp_tpu.config import Config
 from cstp_tpu.ssl.byol import CSTPPretrain, cross_entropy, ema_update
 from cstp_tpu.train import optim
@@ -38,11 +41,31 @@ class TrainState(struct.PyTreeNode):
     opt_state: Any
 
 
+def bn_groups_from_config(config: Config) -> int:
+    """--sync_bn 0 -> per-replica BN stats: one group per data shard
+    (the reference's *effective* per-GPU behavior; its SyncBN never
+    actually syncs — models/model.py:86-100). --sync_bn 1 -> 1 group =
+    global-batch stats."""
+    if config.sync_bn:
+        return 1
+    shape = list(config.mesh_shape)
+    n = jax.device_count()
+    known = 1
+    for s in shape:
+        if s != -1:
+            known *= s
+    shape = [n // known if s == -1 else s for s in shape]
+    return shape[list(config.mesh_axes).index("data")]
+
+
 def create_pretrain_model(config: Config) -> CSTPPretrain:
     return CSTPPretrain(
         backbone=config.model_name,
         depth=config.model_depth,
         dtype=jnp.dtype(config.compute_dtype),
+        bn_groups=bn_groups_from_config(config),
+        shortcut=config.resnet_shortcut,
+        s2d_stem=config.s2d_stem,
     )
 
 
@@ -63,6 +86,7 @@ def create_pretrain_state(
         config.optimizer,
         momentum=config.momentum,
         weight_decay=config.weight_decay,
+        dampening=config.dampening,
         nesterov=config.nesterov,
         clip_grad_norm=(config.clip_grad_value if config.clip_grad_norm else None),
         labels=labels,
@@ -74,6 +98,12 @@ def create_pretrain_state(
         opt_state=tx.init(params),
     )
     return model, state, tx
+
+
+def split_pretrain_step(model: CSTPPretrain, tx, config: Config):
+    """The two compiled programs behind :func:`make_pretrain_step`, exposed
+    separately for benchmarking/profiling: ``(augment, train)``."""
+    return _build_pretrain_programs(model, tx, config)
 
 
 def make_pretrain_step(model: CSTPPretrain, tx, config: Config):
@@ -91,16 +121,38 @@ def make_pretrain_step(model: CSTPPretrain, tx, config: Config):
     multiplies compile time (the vmapped augmentation alone is a large
     program) — and they recompile independently when only one changes.
     """
+    augment, train = _build_pretrain_programs(model, tx, config)
+
+    def step(state: TrainState, rng: jax.Array, batch: Dict[str, jnp.ndarray],
+             lr: jnp.ndarray):
+        v1, v2, spa = augment(rng, batch["frames1"], batch["frames2"],
+                              batch["rot1"], batch["rot2"])
+        views_labels = (v1, v2, spa, batch["tem"], batch["pb"],
+                        batch["rot1"], batch["rot2"])
+        return train(state, views_labels, lr)
+
+    return step
+
+
+def _build_pretrain_programs(model: CSTPPretrain, tx, config: Config):
     w = config.loss_weight
     momentum = config.byol_momentum
     sample_size = config.sample_size
 
+    ntxent_w = config.ntxent_weight
+
     def loss_fn(params, batch_stats, views_labels):
         v1, v2, spa, tem, pb, rot1, rot2 = views_labels
-        (byol, logits), mutated = model.apply(
-            {"params": params, "batch_stats": batch_stats},
-            v1, v2, train=True, mutable=["batch_stats"],
-        )
+        if ntxent_w:
+            (byol, logits, (emb1, emb2)), mutated = model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                v1, v2, train=True, with_proj=True, mutable=["batch_stats"],
+            )
+        else:
+            (byol, logits), mutated = model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                v1, v2, train=True, mutable=["batch_stats"],
+            )
         p_spa, p_tem, p_pb1, p_pb2, p_rot1, p_rot2 = logits
         l_spa = cross_entropy(p_spa, spa)
         l_tem = cross_entropy(p_tem, tem)
@@ -113,6 +165,26 @@ def make_pretrain_step(model: CSTPPretrain, tx, config: Config):
             w[0] * byol + w[1] * l_spa + w[2] * l_tem
             + w[3] * (l_pb1 + l_pb2) + w[4] * (l_rot1 + l_rot2)
         )
+        if ntxent_w:
+            # optional contrastive term with GLOBAL in-batch negatives:
+            # the (2B,2B) similarity over the 'data'-sharded batch lowers
+            # to an all-gather over ICI (north-star cross-replica option;
+            # the reference constructs-but-never-calls NTXentLoss,
+            # main_byol.py:191-197)
+            from cstp_tpu.ssl.ntxent import ntxent_loss
+
+            total = total + ntxent_w * ntxent_loss(
+                emb1, emb2, temperature=config.temperature
+            )
+        # mean top-1 over the six pretext predictions — logged into the
+        # epoch CSV 'acc' column the reference always leaves None
+        # (main_byol.py:127)
+        hits = [
+            jnp.argmax(p, -1) == y
+            for p, y in ((p_spa, spa), (p_tem, tem), (p_pb1, pb), (p_pb2, pb),
+                         (p_rot1, rot1), (p_rot2, rot2))
+        ]
+        acc = jnp.mean(jnp.stack(hits).astype(jnp.float32))
         metrics = {
             "loss": total,
             "loss_byol": byol,
@@ -120,15 +192,34 @@ def make_pretrain_step(model: CSTPPretrain, tx, config: Config):
             "loss_pred_tem": l_tem,
             "loss_pred_pb": 0.5 * (l_pb1 + l_pb2),
             "loss_pred_rot": 0.5 * (l_rot1 + l_rot2),
+            "acc_pretext": acc,
         }
         return total, (metrics, mutated["batch_stats"])
 
     dtype = jnp.dtype(config.compute_dtype)
 
-    @functools.partial(jax.jit, static_argnames=(), donate_argnums=(1, 2))
+    # 'auto' currently resolves to OFF: xprof shows the XLA pipeline costs
+    # only ~16 ms/step on-device (8% of the step) and this toolchain's
+    # Mosaic lowering of the kernel's batched band-matmul einsums is slower
+    # than XLA (PERF.md "fused augmentation kernel" section). '--pallas_augment
+    # on' keeps the kernel reachable for toolchains where Mosaic handles it.
+    use_fused = config.pallas_augment == "on"
+
+    # NOTE: the uint8 frame buffers are NOT donated — no output matches
+    # their shape/dtype, so donation would only emit a warning (BENCH_r01).
+    @jax.jit
     def augment(rng, frames1, frames2, rot1, rot2):
+        if use_fused:
+            # ONE Pallas kernel for the whole crop/rot/jitter/blur chain
+            # (ops/pallas/augment.py) — randomness sampled in XLA with the
+            # same key structure as the unfused path
+            return pretrain_augment_batch_fused(
+                rng, frames1, frames2, rot1, rot2, sample_size=sample_size,
+                norm_method=config.norm_method, out_dtype=dtype,
+            )
         v1, v2, spa = pretrain_augment_batch(
             rng, frames1, frames2, rot1, rot2, sample_size=sample_size,
+            norm_method=config.norm_method,
         )
         return v1.astype(dtype), v2.astype(dtype), spa
 
@@ -155,15 +246,7 @@ def make_pretrain_step(model: CSTPPretrain, tx, config: Config):
         )
         return new_state, metrics
 
-    def step(state: TrainState, rng: jax.Array, batch: Dict[str, jnp.ndarray],
-             lr: jnp.ndarray):
-        v1, v2, spa = augment(rng, batch["frames1"], batch["frames2"],
-                              batch["rot1"], batch["rot2"])
-        views_labels = (v1, v2, spa, batch["tem"], batch["pb"],
-                        batch["rot1"], batch["rot2"])
-        return train(state, views_labels, lr)
-
-    return step
+    return augment, train
 
 
 def make_preaugmented_step(model: CSTPPretrain, tx, config: Config):

@@ -70,6 +70,24 @@ def test_rotate_small_zero_angle_identity(clip):
     np.testing.assert_allclose(out, np.asarray(sq), atol=1e-3)
 
 
+def test_rotate_small_matches_pil_bilinear():
+    """3-shear MXU rotation vs PIL rotate(BILINEAR) on smooth content:
+    interior must agree closely (borders differ in fill handling)."""
+    from PIL import Image
+
+    yy, xx = np.mgrid[0:64, 0:64].astype(np.float32)
+    img = (127 + 80 * np.sin(xx / 9.0) * np.cos(yy / 7.0)).astype(np.float32)
+    rgb = np.clip(np.stack([img] * 3, -1), 0, 255)
+    for ang in (3.0, 7.5, -9.9):
+        pil = Image.fromarray(rgb.astype(np.uint8)).rotate(ang, Image.BILINEAR)
+        want = np.asarray(pil).astype(np.float32)
+        got = np.asarray(
+            ops.rotate_small_clip(jnp.asarray(rgb)[None], jnp.asarray(ang))
+        )[0]
+        err = np.abs(got[8:-8, 8:-8] - want[8:-8, 8:-8]).mean()
+        assert err < 2.0, (ang, err)
+
+
 def test_rotate_small_rotates_energy(clip):
     sq = clip[:, :, :H0, :]
     out = np.asarray(ops.rotate_small_clip(sq, jnp.asarray(10.0)))

@@ -1,0 +1,156 @@
+"""Every wired flag changes observed behavior (VERDICT r1 weak #5:
+'flags that parse but change nothing are parity theater')."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cstp_tpu.config import Config
+from cstp_tpu.models.layers import BatchNorm
+from cstp_tpu.train import optim
+
+
+def test_sync_bn_grouped_stats(key):
+    """groups=2: each half of the batch normalized with its own stats."""
+    x = jnp.concatenate([
+        jnp.full((4, 8), 10.0), jnp.full((4, 8), -5.0)
+    ]) + jax.random.normal(key, (8, 8))
+    bn_sync = BatchNorm(groups=1)
+    bn_rep = BatchNorm(groups=2)
+    v1 = bn_sync.init(key, x, False)
+    v2 = bn_rep.init(key, x, False)
+    # identical param/stat trees -> checkpoints interchangeable
+    assert jax.tree_util.tree_structure(v1) == jax.tree_util.tree_structure(v2)
+
+    y2, _ = bn_rep.apply(v2, x, False, mutable=["batch_stats"])
+    # per-group normalization: each group ~zero-mean under ITS stats
+    g0, g1 = np.asarray(y2[:4]), np.asarray(y2[4:])
+    # remove learned affine (scale random-sign glorot, bias 0): compare
+    # against manual per-group normalization with the same scale
+    scale = np.asarray(v2["params"]["bn"]["scale"])
+    xm = np.asarray(x)
+    for g, rows in ((g0, xm[:4]), (g1, xm[4:])):
+        want = (rows - rows.mean(0)) / np.sqrt(rows.var(0) + 1e-5) * scale
+        np.testing.assert_allclose(g, want, rtol=1e-4, atol=1e-4)
+
+    y1, _ = bn_sync.apply(v1, x, False, mutable=["batch_stats"])
+    assert not np.allclose(np.asarray(y1), np.asarray(y2), atol=1e-3)
+
+
+def test_sync_bn_running_stats_average_groups(key):
+    x = jax.random.normal(key, (8, 4)) * 3.0 + 1.0
+    bn = BatchNorm(groups=4)
+    v = bn.init(key, x, False)
+    _, mut = bn.apply(v, x, False, mutable=["batch_stats"])
+    gm = np.asarray(x).reshape(4, 2, 4).mean(axis=1)  # (G, C)
+    want_mean = 0.1 * gm.mean(axis=0)  # ra starts at 0, momentum .9
+    np.testing.assert_allclose(
+        np.asarray(mut["batch_stats"]["bn"]["mean"]), want_mean, rtol=1e-4)
+
+
+def test_resnet_shortcut_flag_changes_params(key):
+    """--resnet_shortcut A: parameter-free downsample (no conv in the
+    shortcut); B: 1x1x1 conv + BN (reference r3d_byol.py shortcut A/B)."""
+    from cstp_tpu.train.pretrain import create_pretrain_state
+
+    def ptree(sc):
+        cfg = Config(model_name="r3d", model_depth=10, sample_duration=4,
+                     sample_size=32, compute_dtype="float32",
+                     resnet_shortcut=sc).finalize()
+        _, state, _ = create_pretrain_state(cfg, jax.random.PRNGKey(0))
+        return jax.tree_util.tree_leaves_with_path(state.params)
+
+    a_paths = {jax.tree_util.keystr(p) for p, _ in ptree("A")}
+    b_paths = {jax.tree_util.keystr(p) for p, _ in ptree("B")}
+    assert a_paths != b_paths
+    assert any("downsample" in p for p in b_paths)
+    assert not any("downsample" in p for p in a_paths)
+
+
+def test_norm_method_imagenet():
+    from cstp_tpu.augment import ops
+
+    clip = jnp.full((2, 4, 4, 3), 127.5)
+    tf = ops.normalize_clip(clip, "tf")
+    np.testing.assert_allclose(np.asarray(tf), 0.0, atol=1e-2)
+    imnet = ops.normalize_clip(clip, "imagenet")
+    want = (0.5 - np.array([0.485, 0.456, 0.406])) / np.array(
+        [0.229, 0.224, 0.225])
+    np.testing.assert_allclose(np.asarray(imnet)[0, 0, 0], want, rtol=1e-4)
+    with pytest.raises(ValueError):
+        ops.normalize_clip(clip, "nope")
+
+
+def test_dampening_torch_semantics():
+    """buf = m*buf + (1-d)*g, EXCEPT first step buf = g (torch sgd)."""
+    tx = optim.trace_with_dampening(0.9, 0.5)
+    p = {"w": jnp.zeros(3)}
+    s = tx.init(p)
+    g = {"w": jnp.ones(3)}
+    u1, s = tx.update(g, s)
+    np.testing.assert_allclose(np.asarray(u1["w"]), 1.0)  # no dampening yet
+    u2, s = tx.update(g, s)
+    np.testing.assert_allclose(np.asarray(u2["w"]), 0.9 * 1.0 + 0.5)
+    u3, s = tx.update(g, s)
+    np.testing.assert_allclose(np.asarray(u3["w"]), 0.9 * 1.4 + 0.5)
+
+
+def test_dampening_zero_matches_plain_trace():
+    tx_a = optim.make_optimizer("sgd", momentum=0.9, weight_decay=0.0,
+                                dampening=0.0, clip_grad_norm=None)
+    tx_b = optim.make_optimizer("sgd", momentum=0.9, weight_decay=0.0,
+                                clip_grad_norm=None)
+    p = {"w": jnp.ones(2)}
+    sa, sb = tx_a.init(p), tx_b.init(p)
+    g = {"w": jnp.full(2, 0.3)}
+    for _ in range(3):
+        ua, sa = tx_a.update(g, sa)
+        ub, sb = tx_b.update(g, sb)
+    np.testing.assert_allclose(np.asarray(ua["w"]), np.asarray(ub["w"]))
+
+
+def test_s2d_stem_flag(key):
+    """--s2d_stem swaps the s3d stem for the reference's space-to-depth
+    variant (s3d_g.py:229-231, 280-299): params change shape, output dim
+    stays 1024."""
+    import jax.numpy as jnp
+
+    from cstp_tpu.models import make_backbone
+
+    x = jnp.zeros((1, 8, 64, 64, 3), jnp.float32)
+    m_std = make_backbone("s3d", dtype=jnp.float32)
+    m_s2d = make_backbone("s3d", dtype=jnp.float32, s2d_stem=True)
+    v_std = m_std.init(key, x, train=False)
+    v_s2d = m_s2d.init(key, x, train=False)
+    k_std = v_std["params"]["Conv_1a"]["conv1"]["kernel"]
+    k_s2d = v_s2d["params"]["Conv_1a"]["conv"]["kernel"]
+    assert k_std.shape == (1, 7, 7, 3, 64)       # separable spatial stem
+    assert k_s2d.shape == (2, 4, 4, 24, 64)      # s2d non-separable stem
+    out = m_s2d.apply(v_s2d, x, train=False)
+    assert out.shape == (1, 1024)
+
+
+def test_ntxent_weight_wires_contrastive_term(key):
+    """--ntxent_weight > 0 adds the contrastive term to the pretrain loss."""
+    from cstp_tpu.train.pretrain import (
+        create_pretrain_state, make_preaugmented_step, split_pretrain_step,
+    )
+
+    def run(weight):
+        cfg = Config(model_name="r21d", model_depth=1, sample_duration=4,
+                     sample_size=32, batch_size=4, compute_dtype="float32",
+                     ntxent_weight=weight).finalize()
+        model, state, tx = create_pretrain_state(cfg, jax.random.PRNGKey(0))
+        _, train = split_pretrain_step(model, tx, cfg)
+        rng = np.random.default_rng(0)
+        v = jnp.asarray(rng.uniform(-1, 1, (4, 4, 32, 32, 3)), jnp.float32)
+        vl = (v, v[::-1], jnp.zeros(4, jnp.int32), jnp.zeros(4, jnp.int32),
+              jnp.zeros(4, jnp.int32), jnp.zeros(4, jnp.int32),
+              jnp.zeros(4, jnp.int32))
+        _, m = train(state, vl, jnp.float32(0.0))
+        return float(m["loss"])
+
+    base = run(0.0)
+    with_nt = run(1.0)
+    assert with_nt > base + 0.1  # NT-Xent of random projections ~ log(2B-1)
