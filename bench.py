@@ -33,7 +33,9 @@ def log(*a):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--per-chip-bs", type=int, default=32)
+    # 64 is the measured sweet spot on v5e-16GB: 167 clips/s at 32,
+    # 236 at 64; 128 OOMs (needs 17.1G of 15.75G HBM) — PERF.md sweep
+    ap.add_argument("--per-chip-bs", type=int, default=64)
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--warmup", type=int, default=3)
     ap.add_argument("--profile-dir", default=None)
@@ -84,24 +86,32 @@ def main():
             "pb": rng.integers(0, 4, (b,)).astype(np.int32),
         })
 
-    batch = make_batch()
     lr = jnp.asarray(0.03, jnp.float32)
     key = jax.random.PRNGKey(1)
-
-    # warmup / compile. The augment program donates its frame buffers, so
-    # re-shard a fresh batch each call.
-    for i in range(args.warmup):
-        state, metrics = step(state, jax.random.fold_in(key, i), make_batch(), lr)
-    jax.block_until_ready(metrics["loss"])
-
     n_steps = args.steps
-    batches = [make_batch() for _ in range(n_steps)]
+    # pre-stage per-step RNG keys and a small batch rotation on device and
+    # FORCE the transfers: per-step eager ops / lazy H2D through the dev
+    # tunnel otherwise leak ~25% into the timed loop (PERF.md measurement
+    # notes). Real training overlaps H2D via the loader prefetcher.
+    keys = list(jax.device_put(np.asarray(
+        jax.random.split(key, n_steps + args.warmup))))
+    batches = [make_batch() for _ in range(3)]
+    for bt in batches:
+        _ = np.asarray(bt["frames1"][0, 0, 0, 0, 0])
+    _ = np.asarray(keys[0])
+
+    for i in range(args.warmup):
+        state, metrics = step(state, keys[n_steps + i],
+                              batches[i % len(batches)], lr)
+    _ = float(metrics["loss"])  # force completion (block_until_ready can lie
+    # through the tunnel relay; a scalar fetch cannot)
+
     with profiling.trace(args.profile_dir):
         t0 = time.perf_counter()
         for i in range(n_steps):
-            state, metrics = step(state, jax.random.fold_in(key, 100 + i),
-                                  batches[i], lr)
-        jax.block_until_ready(metrics["loss"])
+            state, metrics = step(state, keys[i], batches[i % len(batches)],
+                                  lr)
+        _ = float(metrics["loss"])
         dt = time.perf_counter() - t0
 
     clips_per_sec = b * n_steps / dt
@@ -117,23 +127,21 @@ def main():
         views_labels = (vl[0], vl[1], vl[2], bt["tem"], bt["pb"],
                         bt["rot1"], bt["rot2"])
         if args.breakdown:
-            # aug timing (fresh donated buffers each call)
-            bts = [make_batch() for _ in range(n_steps)]
+            # aug timing: vary only the key (pre-staged) so nothing is
+            # memoized and no eager RPCs land inside the loop
             o = None
             t0 = time.perf_counter()
             for i in range(n_steps):
-                bti = bts[i]
-                o = aug(jax.random.fold_in(key, i), bti["frames1"],
-                        bti["frames2"], bti["rot1"], bti["rot2"])
-            jax.block_until_ready(o)
+                o = aug(keys[i], bt["frames1"], bt["frames2"], bt["rot1"],
+                        bt["rot2"])
+            _ = np.asarray(o[2][0])
             aug_s = (time.perf_counter() - t0) / n_steps
-            # train timing
-            st = state
-            m = None
+            # train timing: chain state
+            st, m = state, None
             t0 = time.perf_counter()
             for i in range(n_steps):
                 st, m = train(st, views_labels, lr)
-            jax.block_until_ready(m["loss"])
+            _ = float(m["loss"])
             train_s = (time.perf_counter() - t0) / n_steps
             log(f"breakdown: step={step_s*1e3:.1f}ms  augment={aug_s*1e3:.1f}ms"
                 f"  train={train_s*1e3:.1f}ms  (b={b}, {n_dev} chip(s))")

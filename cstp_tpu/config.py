@@ -97,6 +97,8 @@ class Config:
     s2d_stem: bool = False                  # s3d space-to-depth stem
                                             # (ref s3d_g.py:280-287)
     pallas_augment: str = "auto"            # fused aug kernel: auto|on|off
+    tf_i3d_ckpt: str = ""                   # kinetics-i3d TF ckpt to import
+                                            # (ref i3d_byol.py:428-586)
     data_backend: str = "framedir"          # framedir | packed | lmdb | synthetic
     synthetic_len: int = 256                # synthetic dataset size
 
@@ -192,6 +194,7 @@ def _add_args(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--s2d_stem", action="store_true")
     parser.add_argument("--pallas_augment", default=c.pallas_augment,
                         choices=["auto", "on", "off"])
+    parser.add_argument("--tf_i3d_ckpt", default=c.tf_i3d_ckpt, type=str)
 
 
 def parse_opts(argv: Optional[List[str]] = None) -> Config:

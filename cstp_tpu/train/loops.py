@@ -102,6 +102,16 @@ def run_pretrain(config: Config, max_steps_per_epoch: int = 0) -> Dict:
     )
     rng = jax.random.PRNGKey(config.manual_seed)
     model, state, tx = create_pretrain_state(config, rng)
+    if config.tf_i3d_ckpt:
+        # kinetics-i3d Sonnet checkpoint into BOTH towers (the reference
+        # loads the TF weights into the I3D base that seeds online+target)
+        from cstp_tpu.models.i3d_tf_import import load_tf_i3d
+
+        params, stats = state.params, state.batch_stats
+        for tower in ("online_net", "target_net"):
+            params, stats = load_tf_i3d(params, stats, config.tf_i3d_ckpt,
+                                        backbone_path=(tower,))
+        state = state.replace(params=params, batch_stats=stats)
     step_fn = make_pretrain_step(model, tx, config)
 
     log_dir = _log_dir(config)
@@ -245,6 +255,13 @@ def run_finetune(config: Config, max_steps_per_epoch: int = 0) -> Dict:
     rng = jax.random.PRNGKey(config.manual_seed)
     num_classes = config.n_finetune_classes or config.n_classes
     model, state, tx = create_finetune_state(config, rng, num_classes)
+    if config.tf_i3d_ckpt:
+        from cstp_tpu.models.i3d_tf_import import load_tf_i3d
+
+        params, stats = load_tf_i3d(state.params, state.batch_stats,
+                                    config.tf_i3d_ckpt,
+                                    backbone_path=("online_net",))
+        state = state.replace(params=params, batch_stats=stats)
 
     # load pretrained backbone (partial, by-name; models/model.py:131-134)
     if config.task in ("ft_fc", "ft_all") and config.pretrained_path:

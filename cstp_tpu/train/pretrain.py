@@ -115,11 +115,11 @@ def make_pretrain_step(model: CSTPPretrain, tx, config: Config):
       tem, pb:          (B,) int32 temporal-overlap / playback labels
     The spa label is produced by the on-device crop sampler.
 
-    Two XLA programs, not one: the augmentation pipeline and the
-    train (fwd+bwd+update) program are jitted separately. Dispatch overhead
-    between two device programs is negligible, but compiling them together
-    multiplies compile time (the vmapped augmentation alone is a large
-    program) — and they recompile independently when only one changes.
+    Two XLA programs per step, NOT one: jitting augmentation and train
+    together was measured 14x SLOWER end-to-end on v5e (3.2 s/step vs
+    230 ms — the merged program's schedule degrades catastrophically),
+    while the extra dispatch costs only a few ms. Keep them split;
+    ``split_pretrain_step`` exposes them for profiling.
     """
     augment, train = _build_pretrain_programs(model, tx, config)
 
