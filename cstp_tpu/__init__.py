@@ -12,8 +12,9 @@ Layering (top = closest to the user):
   augment/   fused on-device augmentation (crop-overlap, jitter, blur, rot90)
   pretext/   pure-function CSTP pretext label/index samplers
   data/      host ingest: frame-dir / packed-shard readers, clip samplers
-  parallel/  device mesh, shardings, collectives
-  ops/       Pallas TPU kernels
+  parallel/  device mesh, shardings, multi-host init, collectives
+  ops/       Pallas TPU kernels (fused augmentation; opt-in, see PERF.md)
+  utils/     profiling: xprof traces, XLA cost analysis, chip rooflines
   ckpt/      checkpoint save/restore (Orbax), save_{E} naming parity
 
 Unlike the reference (a flat research codebase glued by an argparse

@@ -99,6 +99,10 @@ class Config:
     pallas_augment: str = "auto"            # fused aug kernel: auto|on|off
     tf_i3d_ckpt: str = ""                   # kinetics-i3d TF ckpt to import
                                             # (ref i3d_byol.py:428-586)
+    data_echo: int = 1                      # data echoing factor (each host
+                                            # batch trains N steps; on-device
+                                            # aug makes echoes distinct —
+                                            # arXiv:1907.05550)
     data_backend: str = "framedir"          # framedir | packed | lmdb | synthetic
     synthetic_len: int = 256                # synthetic dataset size
 
@@ -195,6 +199,7 @@ def _add_args(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--pallas_augment", default=c.pallas_augment,
                         choices=["auto", "on", "off"])
     parser.add_argument("--tf_i3d_ckpt", default=c.tf_i3d_ckpt, type=str)
+    parser.add_argument("--data_echo", default=c.data_echo, type=int)
 
 
 def parse_opts(argv: Optional[List[str]] = None) -> Config:

@@ -40,11 +40,21 @@ def _epoch_permutation(n: int, epoch: int, seed: int, shuffle: bool) -> np.ndarr
 
 
 class PretrainLoader:
-    """Yields pretrain batches: two raw clips + temporal pretext labels."""
+    """Yields pretrain batches: two raw clips + temporal pretext labels.
+
+    ``echo > 1`` enables data echoing (Choi et al., arXiv:1907.05550 — see
+    PAPERS.md): each host-loaded batch is yielded ``echo`` times. Because ALL
+    augmentation (overlap crop -> spa label, jitter/gray/blur/flip) runs
+    on-device from the per-step RNG key, every echo trains on a genuinely
+    different view pair — host decode bandwidth drops by the echo factor
+    while augmentation diversity is preserved (the temporal/pb/rot draws are
+    shared within an echo group).
+    """
 
     def __init__(self, dataset, batch_size: int, sample_duration: int,
                  seed: int = 1, num_workers: int = 4, drop_last: bool = True,
-                 process_index: int = 0, process_count: int = 1):
+                 process_index: int = 0, process_count: int = 1,
+                 echo: int = 1):
         self.ds = dataset
         self.batch_size = batch_size
         self.sample_duration = sample_duration
@@ -53,10 +63,13 @@ class PretrainLoader:
         self.drop_last = drop_last
         self.process_index = process_index
         self.process_count = process_count
+        self.echo = max(1, echo)
 
     def __len__(self):
         n = self.ds.num_videos() // self.process_count
-        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+        batches = (n // self.batch_size if self.drop_last
+                   else -(-n // self.batch_size))
+        return batches * self.echo
 
     def _load_one(self, vid: int, rng: np.random.Generator):
         nframes, _ = self.ds.video_meta(vid)
@@ -101,7 +114,7 @@ class PretrainLoader:
                     f1 = np.stack([r[0] for r in results])
                     f2 = np.stack([r[1] for r in results])
                     samples = [r[2] for r in results]
-                yield {
+                batch = {
                     "frames1": f1,
                     "frames2": f2,
                     "rot1": np.asarray([s.rot_label_1 for s in samples], np.int32),
@@ -109,6 +122,8 @@ class PretrainLoader:
                     "tem": np.asarray([s.tem_label for s in samples], np.int32),
                     "pb": np.asarray([s.pb_label for s in samples], np.int32),
                 }
+                for _ in range(self.echo):
+                    yield batch
 
 
 class FinetuneLoader:

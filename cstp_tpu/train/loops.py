@@ -99,6 +99,7 @@ def run_pretrain(config: Config, max_steps_per_epoch: int = 0) -> Dict:
         dataset, per_host_batch, config.sample_duration,
         seed=config.manual_seed, num_workers=config.n_workers,
         process_index=jax.process_index(), process_count=jax.process_count(),
+        echo=config.data_echo,
     )
     rng = jax.random.PRNGKey(config.manual_seed)
     model, state, tx = create_pretrain_state(config, rng)

@@ -124,3 +124,22 @@ def test_label_parsing(tmp_path):
     kin.write_text("val/abseiling/x.mp4  3  250\n")
     recs = parse_kinetics_list(str(kin))
     assert recs[0].label == 3 and recs[0].nframes == 250
+
+
+def test_pretrain_loader_data_echo():
+    """--data_echo N: each host batch is yielded N times (arXiv:1907.05550);
+    on-device augmentation gives each echo a distinct view pair."""
+    from cstp_tpu.data.loader import PretrainLoader
+    from cstp_tpu.data.synthetic import SyntheticVideoDataset
+
+    ds = SyntheticVideoDataset(n_videos=8, n_classes=4, ingest_hw=(16, 20))
+    loader = PretrainLoader(ds, batch_size=4, sample_duration=4,
+                            num_workers=1, echo=3)
+    assert len(loader) == (8 // 4) * 3
+    batches = list(loader.epoch(1))
+    assert len(batches) == 6
+    # echoes within a group share the host-loaded arrays...
+    for k in ("frames1", "tem", "pb"):
+        assert batches[0][k] is batches[1][k] is batches[2][k]
+    # ...but distinct groups differ
+    assert not np.array_equal(batches[0]["frames1"], batches[3]["frames1"])
