@@ -135,7 +135,12 @@ def make_pretrain_step(model: CSTPPretrain, tx, config: Config):
 
 
 def _build_pretrain_programs(model: CSTPPretrain, tx, config: Config):
-    w = config.loss_weight
+    # task 'r_byol' = pure BYOL regression (reference r21d_byol.py:383-392 —
+    # vestigial there: main_byol's loss mix would crash on its return shape;
+    # here it is a WORKING task realized as loss weights (1,0,0,0,0), with
+    # the pretext heads still logged as metrics)
+    w = (config.loss_weight if config.task != "r_byol"
+         else (1.0, 0.0, 0.0, 0.0, 0.0))
     momentum = config.byol_momentum
     sample_size = config.sample_size
 

@@ -154,3 +154,29 @@ def test_ntxent_weight_wires_contrastive_term(key):
     base = run(0.0)
     with_nt = run(1.0)
     assert with_nt > base + 0.1  # NT-Xent of random projections ~ log(2B-1)
+
+
+def test_r_byol_task_is_pure_byol(key):
+    """task r_byol trains with ONLY the BYOL regression term (reference
+    r21d_byol.py:383-392 — vestigial there, a working task here)."""
+    import jax.numpy as jnp
+
+    from cstp_tpu.train.pretrain import create_pretrain_state, split_pretrain_step
+
+    def run(task):
+        cfg = Config(model_name="r21d", model_depth=1, sample_duration=4,
+                     sample_size=32, batch_size=4, compute_dtype="float32",
+                     task=task, loss_weight=(0.1, 1, 1, 1, 1)).finalize()
+        model, state, tx = create_pretrain_state(cfg, jax.random.PRNGKey(0))
+        _, train = split_pretrain_step(model, tx, cfg)
+        rng = np.random.default_rng(0)
+        v = jnp.asarray(rng.uniform(-1, 1, (4, 4, 32, 32, 3)), jnp.float32)
+        z = jnp.zeros(4, jnp.int32)
+        _, m = train(state, (v, v[::-1], z, z, z, z, z), jnp.float32(0.0))
+        return m
+
+    m = run("r_byol")
+    np.testing.assert_allclose(float(m["loss"]), float(m["loss_byol"]),
+                               rtol=1e-6)
+    m2 = run("loss_com")
+    assert float(m2["loss"]) > float(m2["loss_byol"]) * 0.1 + 1.0
