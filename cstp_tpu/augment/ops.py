@@ -21,8 +21,6 @@ Numerics deviations from PIL (documented, accuracy-neutral):
 
 from __future__ import annotations
 
-import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

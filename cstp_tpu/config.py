@@ -103,6 +103,9 @@ class Config:
                                             # batch trains N steps; on-device
                                             # aug makes echoes distinct —
                                             # arXiv:1907.05550)
+    auto_resume: bool = False               # restart from the newest ckpt in
+                                            # the run dir (preemption-safe
+                                            # launches; ref has no recovery)
     data_backend: str = "framedir"          # framedir | packed | lmdb | synthetic
     synthetic_len: int = 256                # synthetic dataset size
 
@@ -200,6 +203,7 @@ def _add_args(parser: argparse.ArgumentParser) -> None:
                         choices=["auto", "on", "off"])
     parser.add_argument("--tf_i3d_ckpt", default=c.tf_i3d_ckpt, type=str)
     parser.add_argument("--data_echo", default=c.data_echo, type=int)
+    parser.add_argument("--auto_resume", action="store_true")
 
 
 def parse_opts(argv: Optional[List[str]] = None) -> Config:

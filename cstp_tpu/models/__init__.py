@@ -19,7 +19,7 @@ r3d_byol.py:243-253, i3d_byol.py:616-629)
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Callable, Dict, Optional, Tuple
 
 import jax.numpy as jnp
 

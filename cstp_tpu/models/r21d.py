@@ -13,7 +13,7 @@ Depth map (reference passes layer_sizes=(1,1,1,1), "depth" flag 1):
 
 from __future__ import annotations
 
-from typing import Any, Optional, Tuple
+from typing import Any, Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn

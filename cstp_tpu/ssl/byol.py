@@ -27,7 +27,7 @@ params have requires_grad=False — no grads, no weight decay).
 
 from __future__ import annotations
 
-from typing import Any, Dict, Tuple
+from typing import Any
 
 import jax
 import jax.numpy as jnp

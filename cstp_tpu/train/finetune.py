@@ -8,7 +8,7 @@ video-level eval) as jitted steps + thin host loops.
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

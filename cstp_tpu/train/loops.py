@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import os
 import time
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp
@@ -117,10 +117,17 @@ def run_pretrain(config: Config, max_steps_per_epoch: int = 0) -> Dict:
 
     log_dir = _log_dir(config)
     begin_epoch = 1
+    resume_from = None
     if config.task == "resume":
-        begin_epoch = ckpt_lib.epoch_from_name(config.resume_md_path)
+        resume_from = config.resume_md_path
+    elif config.auto_resume:
+        # preemption recovery (the reference has none — SURVEY §5): pick up
+        # the newest save_{E} in the run directory, if any
+        resume_from = ckpt_lib.latest_checkpoint(log_dir)
+    if resume_from:
+        begin_epoch = ckpt_lib.epoch_from_name(resume_from)
         tree, meta = ckpt_lib.restore_checkpoint(
-            config.resume_md_path,
+            resume_from,
             {"params": state.params, "batch_stats": state.batch_stats,
              "opt_state": state.opt_state, "step": state.step},
         )
@@ -139,7 +146,7 @@ def run_pretrain(config: Config, max_steps_per_epoch: int = 0) -> Dict:
         ),
         ["epoch", "loss", "loss_byol", "loss_pred_spa", "loss_pred_tem",
          "loss_pred_pb", "loss_pred_rot", "acc", "lr"],
-        overlay=(config.task != "resume"),
+        overlay=resume_from is None,
     )
     lr_fn = optim.cosine_warmup_restarts(
         config.learning_rate, config.n_epochs, 0.5 * config.n_epochs,

@@ -18,7 +18,7 @@ explicit ``reduce_mean`` all-reduce (main_byol.py:22-26) is implicit here.
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Tuple
 
 import jax
 import jax.numpy as jnp

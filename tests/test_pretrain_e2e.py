@@ -79,3 +79,17 @@ def test_pretrain_data_echo_multiplies_steps(tmp_path):
     out = run_pretrain(cfg, max_steps_per_epoch=3)
     # 16 videos / bs 8 = 2 host batches -> 4 echoed steps, capped at 3
     assert np.isfinite(out["history"][0]["loss"])
+
+
+@pytest.mark.slow
+def test_pretrain_auto_resume(tmp_path):
+    """--auto_resume picks up the newest save_{E} in the run dir (preemption
+    recovery; the reference has none — SURVEY §5)."""
+    run_pretrain(_cfg(tmp_path), max_steps_per_epoch=2)
+    # same launch command again, now with auto_resume: continues, no restart
+    out = run_pretrain(_cfg(tmp_path, n_epochs=3, auto_resume=True),
+                       max_steps_per_epoch=2)
+    assert [h["epoch"] for h in out["history"]] == [2, 3]
+    # without auto_resume it would restart from epoch 1
+    out2 = run_pretrain(_cfg(tmp_path, n_epochs=1), max_steps_per_epoch=2)
+    assert [h["epoch"] for h in out2["history"]] == [1]
