@@ -73,3 +73,30 @@ def test_pad_windows_to_bucket():
     w70 = np.zeros((70, 2))
     p, n = pad_windows_to_bucket(w70)
     assert p.shape[0] == 128 and n == 70
+
+
+def test_ft_fc_freezes_backbone(tmp_path):
+    """task ft_fc: backbone params must not move over a train step; the
+    classifier (+cls_bn) must (reference ft_begin_index=5 semantics,
+    models/model.py:122-142)."""
+    import jax
+    import jax.numpy as jnp
+
+    from cstp_tpu.train.finetune import create_finetune_state, make_finetune_step
+
+    cfg = _cfg(tmp_path, "ft_fc", n_epochs=1)
+    model, state, tx = create_finetune_state(cfg, jax.random.PRNGKey(0), 4)
+    step = make_finetune_step(model, tx, cfg)
+    rng = np.random.default_rng(0)
+    batch = {
+        "frames": rng.integers(0, 255, (8, 4, 64, 80, 3)).astype(np.uint8),
+        "labels": rng.integers(0, 4, (8,)).astype(np.int32),
+    }
+    before = jax.device_get(state.params)
+    state2, m = step(state, jax.random.PRNGKey(1), batch, jnp.float32(0.1))
+    after = jax.device_get(state2.params)
+    np.testing.assert_array_equal(
+        before["online_net"]["conv1"]["spatial_conv"]["kernel"],
+        after["online_net"]["conv1"]["spatial_conv"]["kernel"])
+    assert not np.array_equal(before["classify"]["kernel"],
+                              after["classify"]["kernel"])
