@@ -52,6 +52,9 @@ class Config:
     dampening: float = 0.0
     weight_decay: float = 1e-4
     nesterov: bool = False
+    # 2x lr on biases (reference models/pace/params_settings.py:7-28 —
+    # defined but unused by the reference mains; real here when enabled)
+    double_bias_lr: bool = False
     optimizer: str = "sgd"
     lr_patience: int = 10
     n_epochs: int = 400
@@ -106,7 +109,7 @@ class Config:
     auto_resume: bool = False               # restart from the newest ckpt in
                                             # the run dir (preemption-safe
                                             # launches; ref has no recovery)
-    data_backend: str = "framedir"          # framedir | packed | lmdb | synthetic
+    data_backend: str = "framedir"          # framedir | packed | lmdb | video | synthetic
     synthetic_len: int = 256                # synthetic dataset size
 
     def finalize(self) -> "Config":
@@ -167,6 +170,7 @@ def _add_args(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--dampening", default=c.dampening, type=float)
     parser.add_argument("--weight_decay", default=c.weight_decay, type=float)
     parser.add_argument("--nesterov", action="store_true")
+    parser.add_argument("--double_bias_lr", action="store_true")
     parser.add_argument("--optimizer", default=c.optimizer, type=str)
     parser.add_argument("--lr_patience", default=c.lr_patience, type=int)
     parser.add_argument("--n_epochs", default=c.n_epochs, type=int)

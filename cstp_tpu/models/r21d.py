@@ -71,15 +71,18 @@ class SpatioTemporalResLayer(nn.Module):
     layer_size: int
     downsample: bool = False
     dtype: Any = jnp.bfloat16
+    bn_groups: int = 1
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         x = SpatioTemporalResBlock(
-            self.features, self.downsample, dtype=self.dtype, name="block1"
+            self.features, self.downsample, dtype=self.dtype,
+            bn_groups=self.bn_groups, name="block1"
         )(x, train)
         for i in range(self.layer_size - 1):
             x = SpatioTemporalResBlock(
-                self.features, False, dtype=self.dtype, name=f"block{i + 2}"
+                self.features, False, dtype=self.dtype,
+                bn_groups=self.bn_groups, name=f"block{i + 2}"
             )(x, train)
         return x
 
@@ -103,16 +106,20 @@ class R2Plus1DNet(nn.Module):
         x = BatchNorm(dtype=self.dtype, groups=self.bn_groups, name="bn1")(x, not train)
         x = nn.relu(x).astype(self.dtype)
         x = SpatioTemporalResLayer(
-            64, self.layer_sizes[0], False, dtype=self.dtype, name="conv2"
+            64, self.layer_sizes[0], False, dtype=self.dtype,
+            bn_groups=self.bn_groups, name="conv2"
         )(x, train)
         x = SpatioTemporalResLayer(
-            128, self.layer_sizes[1], True, dtype=self.dtype, name="conv3"
+            128, self.layer_sizes[1], True, dtype=self.dtype,
+            bn_groups=self.bn_groups, name="conv3"
         )(x, train)
         x = SpatioTemporalResLayer(
-            256, self.layer_sizes[2], True, dtype=self.dtype, name="conv4"
+            256, self.layer_sizes[2], True, dtype=self.dtype,
+            bn_groups=self.bn_groups, name="conv4"
         )(x, train)
         x = SpatioTemporalResLayer(
-            512, self.layer_sizes[3], True, dtype=self.dtype, name="conv5"
+            512, self.layer_sizes[3], True, dtype=self.dtype,
+            bn_groups=self.bn_groups, name="conv5"
         )(x, train)
         # global average pool over (T, H, W) -> (B, 512), f32 like the torch
         # AdaptiveAvgPool3d output feeding f32 heads

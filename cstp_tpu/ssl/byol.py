@@ -168,12 +168,21 @@ class CSTPPretrain(nn.Module):
 
 class CSTPClassify(nn.Module):
     """Finetune/test model (reference pretrain=False branch,
-    r21d_byol.py:293-299, forward 394-399)."""
+    r21d_byol.py:293-299, forward 394-399).
+
+    ``head_style``:
+      * 'linear' (default) — the BYOL-family finetune head: L2-normalize ->
+        BN -> Linear (r21d_byol.py:394-399); ``cls_bn=False`` drops the BN.
+      * 'mlp' — the standalone S3DClassify head: Linear -> BN -> ReLU ->
+        Linear on raw features, no L2-norm (coclr/s3dg.py:279-335,
+        model_name 's3d_classify' at models/model.py:50-53).
+    """
 
     backbone: str = "r21d"
     depth: int = 1
     num_classes: int = 101
     cls_bn: bool = True
+    head_style: str = "linear"
     dtype: Any = jnp.bfloat16
     bn_groups: int = 1
     shortcut: str = "B"
@@ -188,6 +197,11 @@ class CSTPClassify(nn.Module):
             s2d_stem=self.s2d_stem,
             name="online_net",
         )
+        if self.head_style == "mlp":
+            self.classify = MLPHead(spec.feat_dim, self.num_classes,
+                                    dtype=self.dtype,
+                                    bn_groups=self.bn_groups, name="classify")
+            return
         if self.cls_bn:
             self.cls_bn_mod = BatchNorm(dtype=self.dtype,
                                         groups=self.bn_groups, name="cls_bn")
@@ -202,6 +216,8 @@ class CSTPClassify(nn.Module):
 
     def __call__(self, x, train: bool = True):
         feat, _ = _feat_and_proj(self.online_net(x, train), self.spec)
+        if self.head_style == "mlp":
+            return self.classify(feat, train).astype(jnp.float32)
         feat = l2_normalize(feat)
         if self.cls_bn:
             feat = self.cls_bn_mod(feat, not train)

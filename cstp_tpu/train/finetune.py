@@ -29,11 +29,16 @@ from cstp_tpu.train.pretrain import TrainState
 def create_classify_model(config: Config, num_classes: int) -> CSTPClassify:
     from cstp_tpu.train.pretrain import bn_groups_from_config
 
+    # model_name '*_classify' (reference 's3d_classify', models/model.py:50-53)
+    # selects the standalone MLP classifier head instead of the BYOL-family
+    # l2norm->BN->linear finetune head.
+    head_style = "mlp" if config.model_name.endswith("_classify") else "linear"
     return CSTPClassify(
         backbone=config.model_name,
         depth=config.model_depth,
         num_classes=num_classes,
         cls_bn=config.cls_bn,
+        head_style=head_style,
         dtype=jnp.dtype(config.compute_dtype),
         bn_groups=bn_groups_from_config(config),
         shortcut=config.resnet_shortcut,
@@ -118,7 +123,9 @@ def make_finetune_step(model: CSTPClassify, tx, config: Config):
             state.params, state.batch_stats, x, batch["labels"]
         )
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
-        new_params = optim.apply_lr(state.params, updates, lr)
+        lr_mult = (optim.bias_double_lr_multipliers(state.params)
+                   if config.double_bias_lr else None)
+        new_params = optim.apply_lr(state.params, updates, lr, lr_mult)
         return (
             state.replace(step=state.step + 1, params=new_params,
                           batch_stats=new_stats, opt_state=new_opt),

@@ -37,7 +37,46 @@ from cstp_tpu.train.meters import AverageMeter, Logger, StepTimer
 from cstp_tpu.train.pretrain import create_pretrain_state, make_pretrain_step
 
 
+# Reference dataset CLASS names (selected by ``globals()[opts.dataset]``
+# reflection, main_byol.py:202-205) -> (data_backend, dataset family).
+# Lets the reference's canonical invocations (script/r2p1d/kin400/*.sh:
+# ``--dataset Kin400RepreLMDB`` / ``--dataset UcfFineTune``) run unchanged.
+REFERENCE_DATASET_ALIASES = {
+    # frame-dir readers (datasets.py:22,103,295,418,812,951,1100)
+    "UcfBYOLOnline": ("framedir", "UCF101"),
+    "UcfBYOLOnlineSelfTrans": ("framedir", "UCF101"),
+    "UcfRepre": ("framedir", "UCF101"),
+    "UcfRepreBYOL": ("framedir", "UCF101"),
+    "UcfRepreBYOLSpPre": ("framedir", "UCF101"),
+    "UcfFineTune": ("framedir", "UCF101"),
+    "UcfTempTrans": ("framedir", "UCF101"),
+    "UCFFTOnline": ("framedir", "UCF101"),
+    # LMDB readers (datasets.py:501,649,1263,1411)
+    "UCF101RepreLMDB": ("lmdb", "UCF101"),
+    "UcfFineTuneLMDB": ("lmdb", "UCF101"),
+    "Kin400RepreLMDB": ("lmdb", "Kin400"),
+    "Kin400FTOfflineLMDB": ("lmdb", "Kin400"),
+    # Kinetics frame-dir / direct-video readers (datasets.py:1574,1724,1825)
+    "KINFTOffline": ("framedir", "Kin400"),
+    "KINFTOnlineDecord": ("video", "Kin400"),
+    "KINFTOnline": ("video", "Kin400"),
+}
+
+
+def resolve_dataset_alias(config: Config) -> Config:
+    """If ``--dataset`` is a reference dataset class name, derive the backend
+    and dataset family from it (overriding ``--data_backend``)."""
+    alias = REFERENCE_DATASET_ALIASES.get(config.dataset)
+    if alias is None:
+        return config
+    backend, family = alias
+    import dataclasses
+
+    return dataclasses.replace(config, data_backend=backend, dataset=family)
+
+
 def build_dataset(config: Config, data_type: str):
+    config = resolve_dataset_alias(config)
     if config.data_backend == "synthetic":
         from cstp_tpu.data.synthetic import SyntheticVideoDataset
 
@@ -57,6 +96,13 @@ def build_dataset(config: Config, data_type: str):
 
         return LMDBVideoDataset(
             config.lmdb_path, config.annotation_path, dataset=config.dataset,
+            data_type=data_type, split=config.split,
+        )
+    if config.data_backend == "video":
+        from cstp_tpu.data.video import VideoDataset
+
+        return VideoDataset(
+            config.frame_dir, config.annotation_path, dataset=config.dataset,
             data_type=data_type, split=config.split,
         )
     if config.data_backend == "packed":

@@ -195,6 +195,28 @@ def make_optimizer(
     return tx
 
 
-def apply_lr(params, updates, lr):
-    """params - lr * updates (torch ``p -= lr * buf``)."""
-    return jax.tree_util.tree_map(lambda p, u: p - lr * u, params, updates)
+def apply_lr(params, updates, lr, lr_mult=None):
+    """params - lr * updates (torch ``p -= lr * buf``).
+
+    ``lr_mult`` (optional tree of per-leaf scalars) implements per-group lr
+    multipliers, e.g. :func:`bias_double_lr_multipliers`.
+    """
+    if lr_mult is None:
+        return jax.tree_util.tree_map(lambda p, u: p - lr * u, params, updates)
+    return jax.tree_util.tree_map(
+        lambda p, u, m: p - (lr * m) * u, params, updates, lr_mult
+    )
+
+
+def bias_double_lr_multipliers(params) -> Any:
+    """1x lr for weights, 2x for biases — the reference's
+    ``get_1x_lr_params``/``get_2x_lr_params`` split
+    (models/pace/params_settings.py:7-28; unused by the reference mains,
+    wired here behind ``--double_bias_lr``). torch's split is name-based:
+    '*weight*' -> 1x (incl. BN scale), '*bias*' -> 2x (incl. BN bias)."""
+
+    def mult(path, _leaf):
+        key = getattr(path[-1], "key", None)
+        return 2.0 if key == "bias" else 1.0
+
+    return jax.tree_util.tree_map_with_path(mult, params)

@@ -242,7 +242,9 @@ def _build_pretrain_programs(model: CSTPPretrain, tx, config: Config):
             params, state.batch_stats, views_labels
         )
         updates, new_opt = tx.update(grads, state.opt_state, params)
-        new_params = optim.apply_lr(params, updates, lr)
+        lr_mult = (optim.bias_double_lr_multipliers(params)
+                   if config.double_bias_lr else None)
+        new_params = optim.apply_lr(params, updates, lr, lr_mult)
         new_state = state.replace(
             step=state.step + 1,
             params=new_params,
@@ -284,7 +286,9 @@ def make_preaugmented_step(model: CSTPPretrain, tx, config: Config):
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         (_, (metrics, new_stats)), grads = grad_fn(params, state.batch_stats, batch)
         updates, new_opt = tx.update(grads, state.opt_state, params)
-        new_params = optim.apply_lr(params, updates, lr)
+        lr_mult = (optim.bias_double_lr_multipliers(params)
+                   if config.double_bias_lr else None)
+        new_params = optim.apply_lr(params, updates, lr, lr_mult)
         return (
             state.replace(step=state.step + 1, params=new_params,
                           batch_stats=new_stats, opt_state=new_opt),

@@ -143,3 +143,20 @@ def test_pretrain_loader_data_echo():
         assert batches[0][k] is batches[1][k] is batches[2][k]
     # ...but distinct groups differ
     assert not np.array_equal(batches[0]["frames1"], batches[3]["frames1"])
+
+
+def test_reference_dataset_class_name_aliases():
+    """Reference ``--dataset`` class names (script/r2p1d/kin400/*.sh) resolve
+    to the right backend + dataset family."""
+    from cstp_tpu.config import Config
+    from cstp_tpu.train.loops import resolve_dataset_alias
+
+    c = resolve_dataset_alias(Config(dataset="Kin400RepreLMDB"))
+    assert (c.data_backend, c.dataset) == ("lmdb", "Kin400")
+    c = resolve_dataset_alias(Config(dataset="UcfFineTune"))
+    assert (c.data_backend, c.dataset) == ("framedir", "UCF101")
+    c = resolve_dataset_alias(Config(dataset="KINFTOnlineDecord"))
+    assert (c.data_backend, c.dataset) == ("video", "Kin400")
+    # non-alias names pass through untouched
+    c = resolve_dataset_alias(Config(dataset="UCF101", data_backend="packed"))
+    assert (c.data_backend, c.dataset) == ("packed", "UCF101")

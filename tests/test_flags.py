@@ -180,3 +180,45 @@ def test_r_byol_task_is_pure_byol(key):
                                rtol=1e-6)
     m2 = run("loss_com")
     assert float(m2["loss"]) > float(m2["loss_byol"]) * 0.1 + 1.0
+
+
+def test_double_bias_lr_flag(key):
+    """--double_bias_lr: bias leaves step with 2x lr, weights with 1x
+    (reference models/pace/params_settings.py:7-28)."""
+    import numpy as np
+
+    from cstp_tpu.train import optim
+
+    params = {"fc": {"kernel": jnp.ones((3, 3)), "bias": jnp.ones((3,))}}
+    updates = {"fc": {"kernel": jnp.ones((3, 3)), "bias": jnp.ones((3,))}}
+    mult = optim.bias_double_lr_multipliers(params)
+    new = optim.apply_lr(params, updates, 0.1, mult)
+    np.testing.assert_allclose(np.asarray(new["fc"]["kernel"]), 0.9)
+    np.testing.assert_allclose(np.asarray(new["fc"]["bias"]), 0.8)
+
+
+def test_s3d_classify_model_name_uses_mlp_head(key):
+    """--model_name s3d_classify builds the standalone MLP classifier head
+    (Linear->BN->ReLU->Linear on raw features, no l2norm/cls_bn —
+    reference coclr/s3dg.py:279-335, models/model.py:50-53)."""
+    from cstp_tpu.train.finetune import create_classify_model
+
+    cfg = Config(model_name="s3d_classify", sample_duration=4, sample_size=32,
+                 compute_dtype="float32", task="ft_all").finalize()
+    model = create_classify_model(cfg, num_classes=7)
+    x = jnp.zeros((2, 4, 32, 32, 3), jnp.float32)
+    variables = model.init(key, x, train=False)
+    p = variables["params"]
+    assert "cls_bn" not in p
+    assert p["classify"]["fc1"]["kernel"].shape == (1024, 1024)
+    assert p["classify"]["fc2"]["kernel"].shape == (1024, 7)
+    out = model.apply(variables, x, train=False)
+    assert out.shape == (2, 7)
+
+    # the BYOL-family default keeps the linear head
+    cfg2 = Config(model_name="s3d_byol", sample_duration=4, sample_size=32,
+                  compute_dtype="float32", task="ft_all").finalize()
+    m2 = create_classify_model(cfg2, num_classes=7)
+    v2 = m2.init(key, x, train=False)
+    assert "cls_bn" in v2["params"]
+    assert v2["params"]["classify"]["kernel"].shape == (1024, 7)

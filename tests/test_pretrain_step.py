@@ -107,3 +107,33 @@ def test_online_net_actually_trains(setup):
         before, after,
     )
     assert max(jax.tree_util.tree_leaves(diffs)) > 0.0
+
+
+def test_bn_stats_are_per_view_in_all_blocks():
+    """The two views run through each tower as ONE 2B batched call with BN
+    groups doubled so train-mode statistics stay PER-VIEW (reference
+    per-forward-call stats, r21d_byol.py:358-372). If any inner BatchNorm
+    mixed the views (regression: r21d ResLayers dropped bn_groups), view-1
+    outputs would depend on view-2's content."""
+    from cstp_tpu.ssl.byol import CSTPPretrain
+
+    model = CSTPPretrain(backbone="r21d", depth=1, dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    x1 = jnp.asarray(rng.uniform(-1, 1, (2, 4, 32, 32, 3)), jnp.float32)
+    x2a = jnp.asarray(rng.uniform(-1, 1, (2, 4, 32, 32, 3)), jnp.float32)
+    x2b = jnp.asarray(rng.uniform(-1, 1, (2, 4, 32, 32, 3)), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x1, x2a, train=False)
+
+    def run(x2):
+        (_, outs), _ = model.apply(variables, x1, x2, train=True,
+                                   mutable=["batch_stats"])
+        return outs
+
+    outs_a, outs_b = run(x2a), run(x2b)
+    # pb1/rot1 (indices 2, 4) depend only on view 1 => identical
+    np.testing.assert_allclose(np.asarray(outs_a[2]), np.asarray(outs_b[2]),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(outs_a[4]), np.asarray(outs_b[4]),
+                               rtol=1e-5, atol=1e-5)
+    # sanity: view-2 heads DO change
+    assert not np.allclose(np.asarray(outs_a[3]), np.asarray(outs_b[3]))
