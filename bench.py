@@ -41,6 +41,9 @@ def main():
     ap.add_argument("--profile-dir", default=None)
     ap.add_argument("--breakdown", action="store_true")
     ap.add_argument("--cost", action="store_true")
+    ap.add_argument("--remat", action="store_true",
+                    help="remat residual stages (fits larger --per-chip-bs)")
+    ap.add_argument("--concat-views", type=int, default=1)
     args = ap.parse_args()
 
     import jax
@@ -66,6 +69,8 @@ def main():
         batch_size=per_chip_bs * n_dev,
         compute_dtype="bfloat16",
         mesh_shape=(n_dev, 1),
+        remat=args.remat,
+        concat_views=args.concat_views,
     ).finalize()
 
     mesh = create_mesh(cfg.mesh_shape, cfg.mesh_axes)

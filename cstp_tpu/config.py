@@ -100,6 +100,12 @@ class Config:
     s2d_stem: bool = False                  # s3d space-to-depth stem
                                             # (ref s3d_g.py:280-287)
     pallas_augment: str = "auto"            # fused aug kernel: auto|on|off
+    remat: bool = False                     # rematerialize residual stages
+                                            # (activation HBM -> recompute;
+                                            # enables larger per-chip batch)
+    concat_views: int = 1                   # 1: towers run both views as one
+                                            # 2B call (grouped per-view BN);
+                                            # 0: reference per-view calls
     tf_i3d_ckpt: str = ""                   # kinetics-i3d TF ckpt to import
                                             # (ref i3d_byol.py:428-586)
     data_echo: int = 1                      # data echoing factor (each host
@@ -171,6 +177,8 @@ def _add_args(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--weight_decay", default=c.weight_decay, type=float)
     parser.add_argument("--nesterov", action="store_true")
     parser.add_argument("--double_bias_lr", action="store_true")
+    parser.add_argument("--remat", action="store_true")
+    parser.add_argument("--concat_views", default=c.concat_views, type=int)
     parser.add_argument("--optimizer", default=c.optimizer, type=str)
     parser.add_argument("--lr_patience", default=c.lr_patience, type=int)
     parser.add_argument("--n_epochs", default=c.n_epochs, type=int)

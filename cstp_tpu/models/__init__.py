@@ -91,6 +91,7 @@ def _r21d_ctor(depth: int, dtype, proj_flag: bool, **kw):
 
     kw.pop("shortcut", None)  # ResNet3D-only knob
     kw.pop("s2d_stem", None)  # s3d-only knob
+    # r21d accepts remat; passes through in kw
     sizes = LAYER_SIZES.get(depth, (1, 1, 1, 1))
     return R2Plus1DNet(layer_sizes=sizes, proj_flag=proj_flag, dtype=dtype, **kw)
 
@@ -106,6 +107,7 @@ def _c3d_ctor(depth: int, dtype, proj_flag: bool, **kw):
 
     kw.pop("shortcut", None)
     kw.pop("s2d_stem", None)
+    kw.pop("remat", None)
     return C3D(dtype=dtype, **kw)  # reference C3D has no projector
 
 
@@ -120,6 +122,7 @@ def _r3d_ctor(depth: int, dtype, proj_flag: bool, **kw):
     from cstp_tpu.models.r3d import R3D_LAYERS, ResNet3D
 
     kw.pop("s2d_stem", None)
+    kw.pop("remat", None)
     block, layers, expansion = R3D_LAYERS.get(depth, R3D_LAYERS[18])
     return ResNet3D(block=block, layers=layers, dtype=dtype, **kw)
 
@@ -146,6 +149,7 @@ def _s3d_ctor(depth: int, dtype, proj_flag: bool, **kw):
     from cstp_tpu.models.s3dg import S3D
 
     kw.pop("shortcut", None)
+    kw.pop("remat", None)
     kw.setdefault("gating", True)   # model.py:57 s3d_byol uses gating=True
     kw.setdefault("slow", False)
     return S3D(proj_flag=proj_flag, dtype=dtype, **kw)
@@ -162,6 +166,7 @@ def _i3d_ctor(depth: int, dtype, proj_flag: bool, **kw):
 
     kw.pop("shortcut", None)
     kw.pop("s2d_stem", None)
+    kw.pop("remat", None)
     return I3D(dtype=dtype, **kw)
 
 

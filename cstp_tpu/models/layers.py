@@ -115,14 +115,28 @@ class _GroupedBN(nn.Module):
         g = self.groups
         b = xf.shape[0]
         assert b % g == 0, f"batch {b} not divisible by {g} BN groups"
-        gx = xf.reshape((g, b // g) + xf.shape[1:])
-        axes = tuple(range(1, gx.ndim - 1))
-        gmean = jnp.mean(gx, axis=axes)                      # (G, C)
-        gvar = jnp.mean(jnp.square(gx), axis=axes) - jnp.square(gmean)
-        bshape = (g,) + (1,) * (gx.ndim - 2) + (c,)
-        y = (gx - gmean.reshape(bshape)) * jax.lax.rsqrt(
-            gvar.reshape(bshape) + 1e-5)
-        y = y.reshape(xf.shape) * scale + bias
+        # Two-stage ("partial moments") per-group statistics: stage 1 reduces
+        # each SAMPLE's spatial moments straight off the conv output (no
+        # reshape between the conv and the reduce, so XLA keeps its conv +
+        # stat-epilogue fusion); stage 2 combines the tiny (B, C) partials
+        # into (G, C) group stats. Normalization broadcasts per-sample
+        # (B, 1..1, C) stats — pure elementwise, fuses into the consumer.
+        # Alternatives measured and REJECTED on v5e b=64 (PERF.md round 3):
+        # (a) reshape-form (G, B/G, ...) stats — the reduce consumes a
+        # reshape, defeating the epilogue fusion (~208 clips/s); (b) per-half
+        # slice + normalize + concat — extra 784M bf16 temps per site, OOM;
+        # (c) slice-fed stats + broadcast normalize — 19.2G at compile.
+        spatial_axes = tuple(range(1, xf.ndim - 1))
+        pmean = jnp.mean(xf, axis=spatial_axes)              # (B, C)
+        psq = jnp.mean(jnp.square(xf), axis=spatial_axes)    # (B, C)
+        gmean = pmean.reshape(g, b // g, c).mean(axis=1)     # (G, C)
+        gvar = psq.reshape(g, b // g, c).mean(axis=1) - jnp.square(gmean)
+        mean_b = jnp.repeat(gmean, b // g, axis=0)           # (B, C)
+        var_b = jnp.repeat(gvar, b // g, axis=0)
+        bshape = (b,) + (1,) * (xf.ndim - 2) + (c,)
+        y = (xf - mean_b.reshape(bshape)) * jax.lax.rsqrt(
+            var_b.reshape(bshape) + 1e-5)
+        y = y * scale + bias
         if not self.is_initializing():
             ra_mean.value = 0.9 * ra_mean.value + 0.1 * jnp.mean(gmean, 0)
             ra_var.value = 0.9 * ra_var.value + 0.1 * jnp.mean(gvar, 0)

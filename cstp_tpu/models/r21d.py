@@ -95,6 +95,11 @@ class R2Plus1DNet(nn.Module):
     proj_flag: bool = False
     dtype: Any = jnp.bfloat16
     bn_groups: int = 1
+    # rematerialize residual stages in backward (jax.checkpoint): trades
+    # recompute FLOPs for activation HBM, unlocking larger per-chip batches
+    # (PERF.md: b>=96 OOMs at compile without it). Off by default — the
+    # train program is bandwidth-bound and remat adds traffic.
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -105,19 +110,21 @@ class R2Plus1DNet(nn.Module):
         )(x, train)
         x = BatchNorm(dtype=self.dtype, groups=self.bn_groups, name="bn1")(x, not train)
         x = nn.relu(x).astype(self.dtype)
-        x = SpatioTemporalResLayer(
+        Layer = (nn.remat(SpatioTemporalResLayer, static_argnums=(2,))
+                 if self.remat else SpatioTemporalResLayer)
+        x = Layer(
             64, self.layer_sizes[0], False, dtype=self.dtype,
             bn_groups=self.bn_groups, name="conv2"
         )(x, train)
-        x = SpatioTemporalResLayer(
+        x = Layer(
             128, self.layer_sizes[1], True, dtype=self.dtype,
             bn_groups=self.bn_groups, name="conv3"
         )(x, train)
-        x = SpatioTemporalResLayer(
+        x = Layer(
             256, self.layer_sizes[2], True, dtype=self.dtype,
             bn_groups=self.bn_groups, name="conv4"
         )(x, train)
-        x = SpatioTemporalResLayer(
+        x = Layer(
             512, self.layer_sizes[3], True, dtype=self.dtype,
             bn_groups=self.bn_groups, name="conv5"
         )(x, train)

@@ -87,25 +87,29 @@ class CSTPPretrain(nn.Module):
     bn_groups: int = 1            # >1 = per-replica BN stats (--sync_bn 0)
     shortcut: str = "B"           # ResNet3D A/B (--resnet_shortcut/--sc_type)
     s2d_stem: bool = False        # s3d space-to-depth stem (--s2d_stem)
+    remat: bool = False           # remat residual stages (--remat; r21d only)
+    # True: the two views run through each tower as ONE batched 2B call with
+    # BN groups DOUBLED so statistics stay per-view. False: two B-sized calls
+    # per tower — the reference's own call pattern (r21d_byol.py:358-372).
+    # Both are numerically per-view; which is faster is hardware-dependent
+    # (grouped BN stats defeat XLA's conv+BN-stat epilogue fusion; the 2B
+    # call halves dispatches and doubles conv M — see PERF.md round 3).
+    concat_views: bool = True
 
     def setup(self):
         spec = backbone_spec(self.backbone, self.depth)
         self.spec = spec
         use_proj = spec.proj_dim is not None
-        # The two views run through each tower as ONE batched call of 2B
-        # (half the kernel launches of the reference's two per-view calls).
-        # BN groups are doubled so statistics stay PER-VIEW — numerically
-        # the reference's per-forward-call batch stats (r21d_byol.py:358-372).
-        g2 = 2 * self.bn_groups
+        g2 = 2 * self.bn_groups if self.concat_views else self.bn_groups
         self.online_net = make_backbone(
             self.backbone, self.depth, dtype=self.dtype, proj_flag=use_proj,
             bn_groups=g2, shortcut=self.shortcut, s2d_stem=self.s2d_stem,
-            name="online_net",
+            remat=self.remat, name="online_net",
         )
         self.target_net = make_backbone(
             self.backbone, self.depth, dtype=self.dtype, proj_flag=use_proj,
             bn_groups=g2, shortcut=self.shortcut, s2d_stem=self.s2d_stem,
-            name="target_net",
+            remat=self.remat, name="target_net",
         )
         self.predictor = MLPHead(spec.pred_hidden, spec.pred_dim,
                                  dtype=self.dtype, bn_groups=g2, name="predictor")
@@ -128,25 +132,45 @@ class CSTPPretrain(nn.Module):
         (``--loss_weight`` extension; ssl/ntxent.py).
         """
         spec = self.spec
-        x12 = jnp.concatenate([x1, x2], axis=0)  # (2B, ...) one tower call
-        feats, embs = _feat_and_proj(self.online_net(x12, train), spec)
-        preds = self.predictor(embs, train)
-        pred1, pred2 = jnp.split(preds, 2, axis=0)
-        feat1, feat2 = jnp.split(feats, 2, axis=0)
+        if self.concat_views:
+            x12 = jnp.concatenate([x1, x2], axis=0)  # (2B, ...) one tower call
+            feats, embs = _feat_and_proj(self.online_net(x12, train), spec)
+            preds = self.predictor(embs, train)
+            pred1, pred2 = jnp.split(preds, 2, axis=0)
+            feat1, feat2 = jnp.split(feats, 2, axis=0)
 
-        tout = self.target_net(x12, train)
-        _, tembs = _feat_and_proj(tout, spec)
-        temb1, temb2 = jnp.split(jax.lax.stop_gradient(tembs), 2, axis=0)
+            tout = self.target_net(x12, train)
+            _, tembs = _feat_and_proj(tout, spec)
+            temb1, temb2 = jnp.split(jax.lax.stop_gradient(tembs), 2, axis=0)
+        else:
+            # reference call pattern: one forward per view per tower
+            # (r21d_byol.py:358-372); running stats update sequentially
+            feat1, emb1 = _feat_and_proj(self.online_net(x1, train), spec)
+            feat2, emb2 = _feat_and_proj(self.online_net(x2, train), spec)
+            pred1 = self.predictor(emb1, train)
+            pred2 = self.predictor(emb2, train)
+            _, temb1 = _feat_and_proj(self.target_net(x1, train), spec)
+            _, temb2 = _feat_and_proj(self.target_net(x2, train), spec)
+            temb1 = jax.lax.stop_gradient(temb1)
+            temb2 = jax.lax.stop_gradient(temb2)
+            feats = jnp.concatenate([feat1, feat2], axis=0)
+            embs = jnp.concatenate([emb1, emb2], axis=0)
 
         loss = byol_regression_loss(pred1, temb2) + byol_regression_loss(
             pred2, temb1
         )
 
         feat_cat = jnp.concatenate([feat1, feat2], axis=-1)
-        pbs = self.pb_cls(feats, train)
-        rots = self.rotate_cls(feats, train)
-        pb1, pb2 = jnp.split(pbs, 2, axis=0)
-        rot1, rot2 = jnp.split(rots, 2, axis=0)
+        if self.concat_views:
+            pbs = self.pb_cls(feats, train)
+            rots = self.rotate_cls(feats, train)
+            pb1, pb2 = jnp.split(pbs, 2, axis=0)
+            rot1, rot2 = jnp.split(rots, 2, axis=0)
+        else:
+            pb1 = self.pb_cls(feat1, train)
+            pb2 = self.pb_cls(feat2, train)
+            rot1 = self.rotate_cls(feat1, train)
+            rot2 = self.rotate_cls(feat2, train)
         out = (
             self.overlap_spa(feat_cat, train),
             self.overlap_tem(feat_cat, train),

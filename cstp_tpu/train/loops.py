@@ -317,12 +317,21 @@ def run_finetune(config: Config, max_steps_per_epoch: int = 0) -> Dict:
                                     backbone_path=("online_net",))
         state = state.replace(params=params, batch_stats=stats)
 
-    # load pretrained backbone (partial, by-name; models/model.py:131-134)
+    # load pretrained backbone (partial, by-name; models/model.py:131-134).
+    # A reference torch ``save_{E}.pth`` file is accepted directly and
+    # name-translated (models/torch_import.py).
     if config.task in ("ft_fc", "ft_all") and config.pretrained_path:
-        tree, meta = ckpt_lib.restore_checkpoint(
-            config.pretrained_path,
-            {"params": state.params, "batch_stats": state.batch_stats},
-        )
+        target = {"params": state.params, "batch_stats": state.batch_stats}
+        if os.path.isfile(config.pretrained_path):
+            from cstp_tpu.ckpt.checkpoint import _merge_by_name
+            from cstp_tpu.models.torch_import import load_torch_checkpoint
+
+            converted, meta = load_torch_checkpoint(
+                config.pretrained_path, config.model_name)
+            tree = _merge_by_name(target, converted)
+        else:
+            tree, meta = ckpt_lib.restore_checkpoint(
+                config.pretrained_path, target)
         arch = str(meta.get("arch", config.arch))
         assert config.arch in arch or arch in config.arch, (arch, config.arch)
         state = state.replace(params=tree["params"],

@@ -66,6 +66,8 @@ def create_pretrain_model(config: Config) -> CSTPPretrain:
         bn_groups=bn_groups_from_config(config),
         shortcut=config.resnet_shortcut,
         s2d_stem=config.s2d_stem,
+        remat=config.remat,
+        concat_views=bool(config.concat_views),
     )
 
 

@@ -1,0 +1,82 @@
+"""Sweep bench.py over batch sizes / remat / TPU compiler flags.
+
+Each configuration runs bench.py in a fresh subprocess (the tunneled TPU
+backend caches compiled programs per-process; fresh processes also let env
+compiler flags take effect). Prints one table row per config to stderr and
+a JSON summary to stdout.
+
+Usage:
+    python perf/sweep_bench.py                 # default grid
+    python perf/sweep_bench.py --quick         # 3 configs
+"""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_one(name, bench_args, env_extra, steps):
+    env = dict(os.environ)
+    env.update(env_extra)
+    cmd = [sys.executable, os.path.join(HERE, "bench.py"),
+           "--steps", str(steps)] + bench_args
+    try:
+        out = subprocess.run(cmd, capture_output=True, text=True,
+                             timeout=2400, env=env)
+    except subprocess.TimeoutExpired:
+        return {"name": name, "error": "timeout"}
+    line = None
+    for ln in out.stdout.splitlines():
+        ln = ln.strip()
+        if ln.startswith("{") and "clips" in ln:
+            line = ln
+    if line is None:
+        tail = (out.stderr or out.stdout).strip().splitlines()[-6:]
+        return {"name": name, "error": " | ".join(tail), "rc": out.returncode}
+    d = json.loads(line)
+    d["name"] = name
+    return d
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--steps", type=int, default=10)
+    args = ap.parse_args()
+
+    grid = [
+        ("b64-baseline", ["--per-chip-bs", "64"], {}),
+        ("b96-remat", ["--per-chip-bs", "96", "--remat"], {}),
+        ("b128-remat", ["--per-chip-bs", "128", "--remat"], {}),
+    ]
+    if not args.quick:
+        grid += [
+            ("b64-remat", ["--per-chip-bs", "64", "--remat"], {}),
+            ("b48", ["--per-chip-bs", "48"], {}),
+            ("b64-vmem64m",
+             ["--per-chip-bs", "64"],
+             {"LIBTPU_INIT_ARGS": "--xla_tpu_scoped_vmem_limit_kib=65536"}),
+            ("b64-vmem32m",
+             ["--per-chip-bs", "64"],
+             {"LIBTPU_INIT_ARGS": "--xla_tpu_scoped_vmem_limit_kib=32768"}),
+        ]
+
+    results = []
+    for name, bench_args, env_extra in grid:
+        r = run_one(name, bench_args, env_extra, args.steps)
+        results.append(r)
+        if "value" in r:
+            print(f"{name:18s} {r['value']:8.1f} clips/s/chip",
+                  file=sys.stderr, flush=True)
+        else:
+            print(f"{name:18s} ERROR {r.get('error','')[:160]}",
+                  file=sys.stderr, flush=True)
+    print(json.dumps(results, indent=2))
+
+
+if __name__ == "__main__":
+    main()
