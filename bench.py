@@ -44,6 +44,8 @@ def main():
     ap.add_argument("--remat", action="store_true",
                     help="remat residual stages (fits larger --per-chip-bs)")
     ap.add_argument("--concat-views", type=int, default=1)
+    ap.add_argument("--s2d-stem", action="store_true",
+                    help="exact space-to-depth stem rewrite (r21d)")
     args = ap.parse_args()
 
     import jax
@@ -59,6 +61,10 @@ def main():
     from cstp_tpu.train.pretrain import create_pretrain_state, make_pretrain_step
     from cstp_tpu.utils import profiling
 
+    # measured-default compiler tuning (PERF.md round 3); an externally-set
+    # LIBTPU_INIT_ARGS vmem flag (e.g. from perf/sweep_bench.py) wins
+    profiling.apply_tpu_tuning()
+
     n_dev = len(jax.devices())
     per_chip_bs = args.per_chip_bs
     cfg = Config(
@@ -71,6 +77,7 @@ def main():
         mesh_shape=(n_dev, 1),
         remat=args.remat,
         concat_views=args.concat_views,
+        s2d_stem=args.s2d_stem,
     ).finalize()
 
     mesh = create_mesh(cfg.mesh_shape, cfg.mesh_axes)

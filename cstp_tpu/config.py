@@ -100,6 +100,9 @@ class Config:
     s2d_stem: bool = False                  # s3d space-to-depth stem
                                             # (ref s3d_g.py:280-287)
     pallas_augment: str = "auto"            # fused aug kernel: auto|on|off
+    tpu_vmem_limit_kib: int = 65536         # scoped-vmem compiler budget
+                                            # (+5% measured, PERF.md round 3;
+                                            # 0 = leave libtpu default)
     remat: bool = False                     # rematerialize residual stages
                                             # (activation HBM -> recompute;
                                             # enables larger per-chip batch)
@@ -213,6 +216,8 @@ def _add_args(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--s2d_stem", action="store_true")
     parser.add_argument("--pallas_augment", default=c.pallas_augment,
                         choices=["auto", "on", "off"])
+    parser.add_argument("--tpu_vmem_limit_kib", default=c.tpu_vmem_limit_kib,
+                        type=int)
     parser.add_argument("--tf_i3d_ckpt", default=c.tf_i3d_ckpt, type=str)
     parser.add_argument("--data_echo", default=c.data_echo, type=int)
     parser.add_argument("--auto_resume", action="store_true")

@@ -90,8 +90,7 @@ def _r21d_ctor(depth: int, dtype, proj_flag: bool, **kw):
     from cstp_tpu.models.r21d import LAYER_SIZES, R2Plus1DNet
 
     kw.pop("shortcut", None)  # ResNet3D-only knob
-    kw.pop("s2d_stem", None)  # s3d-only knob
-    # r21d accepts remat; passes through in kw
+    # r21d accepts remat and s2d_stem; they pass through in kw
     sizes = LAYER_SIZES.get(depth, (1, 1, 1, 1))
     return R2Plus1DNet(layer_sizes=sizes, proj_flag=proj_flag, dtype=dtype, **kw)
 

@@ -200,12 +200,65 @@ def r21d_intermediate_channels(
     return int(math.floor(num / den))
 
 
+class SpatialS2DConv(nn.Module):
+    """EXACT space-to-depth rewrite of a spatial (1,k,k) stride-(1,2,2)
+    conv (the classic TPU stem trick, cf. reference s3d_g.py:280-287 "3D
+    space to depth trick for TPU optimization" — here derived to be
+    bit-equivalent rather than an architecture change).
+
+    Requires stride 2 and even padded extent. The padded input's HxW 2x2
+    blocks move into channels (C -> 4C) and the kernel's taps are
+    rearranged by parity into a (ceil((k+1)/2)... k2/2)^2 stride-1 kernel
+    over the half-resolution grid — same arithmetic, reassociated, but the
+    MXU sees 4x the contraction depth and no strided access. The parameter
+    ('kernel', shape (1,k,k,C,O)) is IDENTICAL to the plain Conv3d's, so
+    checkpoints are interchangeable with the non-s2d stem.
+    """
+
+    features: int
+    kernel_hw: int = 7
+    pad: int = 3
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.kernel_hw
+        in_ch = x.shape[-1]
+        kernel = self.param(
+            "kernel", glorot_conv_init(),
+            (1, k, k, in_ch, self.features), jnp.float32,
+        )
+        kd = kernel.astype(self.dtype)
+        k2 = (k + 2) // 2 * 2  # taps zero-padded to the even cover (7 -> 8)
+        kp = jnp.pad(kd, ((0, 0), (0, k2 - k), (0, k2 - k), (0, 0), (0, 0)))
+        kp = kp.reshape(1, k2 // 2, 2, k2 // 2, 2, in_ch, self.features)
+        kr = kp.transpose(0, 1, 3, 2, 4, 5, 6).reshape(
+            1, k2 // 2, k2 // 2, 4 * in_ch, self.features)
+        b, t, h, w, c = x.shape
+        p = self.pad
+        assert (h + 2 * p) % 2 == 0 and (w + 2 * p) % 2 == 0, (h, w, p)
+        xd = x.astype(self.dtype)
+        xp = jnp.pad(xd, ((0, 0), (0, 0), (p, p), (p, p), (0, 0)))
+        hp, wp = h + 2 * p, w + 2 * p
+        xs = xp.reshape(b, t, hp // 2, 2, wp // 2, 2, c)
+        xs = xs.transpose(0, 1, 2, 4, 3, 5, 6).reshape(
+            b, t, hp // 2, wp // 2, 4 * c)
+        return jax.lax.conv_general_dilated(
+            xs, kr, (1, 1, 1), [(0, 0), (0, 0), (0, 0)],
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+            preferred_element_type=self.dtype,
+        )
+
+
 class SpatioTemporalConv(nn.Module):
     """Factorized (2+1)D conv: spatial (1,k,k) conv -> BN -> ReLU ->
     temporal (k,1,1) conv (reference r21d_byol.py:38-97).
 
     The BN+ReLU lives INSIDE the factorized conv; callers add their own
     post-BN/ReLU exactly like the reference modules do.
+
+    ``s2d``: compute the spatial conv via the exact space-to-depth rewrite
+    (stride-2 stems only; see SpatialS2DConv).
     """
 
     features: int
@@ -214,6 +267,7 @@ class SpatioTemporalConv(nn.Module):
     padding: Tuple[int, int, int] = (0, 0, 0)
     dtype: Dtype = jnp.bfloat16
     bn_groups: int = 1
+    s2d: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -222,8 +276,12 @@ class SpatioTemporalConv(nn.Module):
         pt, ph, pw = self.padding
         in_ch = x.shape[-1]
         mid = r21d_intermediate_channels(in_ch, self.features, self.kernel)
-        x = Conv3d(mid, (1, kh, kw), (1, sh, sw), (0, ph, pw),
-                   dtype=self.dtype, name="spatial_conv")(x)
+        if self.s2d and (sh, sw) == (2, 2) and kh == kw:
+            x = SpatialS2DConv(mid, kernel_hw=kh, pad=ph,
+                               dtype=self.dtype, name="spatial_conv")(x)
+        else:
+            x = Conv3d(mid, (1, kh, kw), (1, sh, sw), (0, ph, pw),
+                       dtype=self.dtype, name="spatial_conv")(x)
         x = BatchNorm(dtype=self.dtype, groups=self.bn_groups, name="bn")(x, not train)
         x = nn.relu(x).astype(self.dtype)
         x = Conv3d(self.features, (kt, 1, 1), (st, 1, 1), (pt, 0, 0),

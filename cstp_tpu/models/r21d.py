@@ -100,13 +100,17 @@ class R2Plus1DNet(nn.Module):
     # (PERF.md: b>=96 OOMs at compile without it). Off by default — the
     # train program is bandwidth-bound and remat adds traffic.
     remat: bool = False
+    # exact space-to-depth stem (--s2d_stem): same parameters/numerics,
+    # denser MXU contraction in the stride-2 stem conv (layers.SpatialS2DConv)
+    s2d_stem: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         # stem: (3,7,7) stride (1,2,2) factorized conv + BN + ReLU
         x = x.astype(self.dtype)
         x = SpatioTemporalConv(
-            64, (3, 7, 7), (1, 2, 2), (1, 3, 3), dtype=self.dtype, bn_groups=self.bn_groups, name="conv1"
+            64, (3, 7, 7), (1, 2, 2), (1, 3, 3), dtype=self.dtype,
+            bn_groups=self.bn_groups, s2d=self.s2d_stem, name="conv1"
         )(x, train)
         x = BatchNorm(dtype=self.dtype, groups=self.bn_groups, name="bn1")(x, not train)
         x = nn.relu(x).astype(self.dtype)

@@ -35,6 +35,7 @@ from cstp_tpu.train.finetune import (
 )
 from cstp_tpu.train.meters import AverageMeter, Logger, StepTimer
 from cstp_tpu.train.pretrain import create_pretrain_state, make_pretrain_step
+from cstp_tpu.utils import profiling
 
 
 # Reference dataset CLASS names (selected by ``globals()[opts.dataset]``
@@ -136,6 +137,7 @@ def _log_dir(config: Config) -> str:
 def run_pretrain(config: Config, max_steps_per_epoch: int = 0) -> Dict:
     """Pretrain driver (reference main_byol.py main_worker + train_BYOL)."""
     assert config.task in ("loss_com", "r_byol", "resume")
+    profiling.apply_tpu_tuning(config.tpu_vmem_limit_kib)
     if config.steps_per_epoch and not max_steps_per_epoch:
         max_steps_per_epoch = config.steps_per_epoch
     mesh = create_mesh(config.mesh_shape, config.mesh_axes)
@@ -289,6 +291,7 @@ def run_finetune(config: Config, max_steps_per_epoch: int = 0) -> Dict:
     """Finetune driver (reference main_ft_mp.py): per-epoch train + val,
     ReduceLROnPlateau on val loss, best-val-only checkpoint retention."""
     assert config.task in ("ft_fc", "ft_all", "scratch", "resume")
+    profiling.apply_tpu_tuning(config.tpu_vmem_limit_kib)
     if config.steps_per_epoch and not max_steps_per_epoch:
         max_steps_per_epoch = config.steps_per_epoch
     mesh = create_mesh(config.mesh_shape, config.mesh_axes)
@@ -457,6 +460,7 @@ def run_finetune(config: Config, max_steps_per_epoch: int = 0) -> Dict:
 def run_test(config: Config, max_videos: int = 0) -> Dict:
     """Video-level sliding-window test (reference test.py:23-98):
     per video, mean of per-window logits -> top-1/top-5."""
+    profiling.apply_tpu_tuning(config.tpu_vmem_limit_kib)
     mesh = create_mesh(config.mesh_shape, config.mesh_axes)
     dataset = build_dataset(config, "test")
     rng = jax.random.PRNGKey(config.manual_seed)

@@ -50,6 +50,28 @@ def chip_peak(device: Optional[jax.Device] = None) -> Optional[ChipSpec]:
     return None
 
 
+def apply_tpu_tuning(vmem_limit_kib: Optional[int] = None) -> None:
+    """Apply measured-default TPU compiler tuning via ``LIBTPU_INIT_ARGS``.
+
+    Must run BEFORE the TPU backend initializes (libtpu reads the env var at
+    load). A raised scoped-vmem budget lets the compiler double-buffer the
+    big conv fusions' operands: measured +5% end-to-end on the v5e pretrain
+    step (PERF.md round-3 sweep: 235.4 -> 247.2 clips/s/chip at 64 MiB).
+    Explicit user-set ``LIBTPU_INIT_ARGS`` values win — we only append when
+    the flag is absent. ``vmem_limit_kib=0`` disables the override.
+    """
+    import os
+
+    kib = 65536 if vmem_limit_kib is None else int(vmem_limit_kib)
+    if not kib:
+        return
+    cur = os.environ.get("LIBTPU_INIT_ARGS", "")
+    if "xla_tpu_scoped_vmem_limit_kib" not in cur:
+        os.environ["LIBTPU_INIT_ARGS"] = (
+            cur + f" --xla_tpu_scoped_vmem_limit_kib={kib}"
+        ).strip()
+
+
 @contextlib.contextmanager
 def trace(log_dir: Optional[str]):
     """``with trace('/tmp/trace'):`` captures an xprof trace; no-op if

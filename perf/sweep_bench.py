@@ -48,21 +48,25 @@ def main():
     ap.add_argument("--steps", type=int, default=10)
     args = ap.parse_args()
 
+    VM64 = {"LIBTPU_INIT_ARGS": "--xla_tpu_scoped_vmem_limit_kib=65536"}
     grid = [
-        ("b64-baseline", ["--per-chip-bs", "64"], {}),
-        ("b96-remat", ["--per-chip-bs", "96", "--remat"], {}),
-        ("b128-remat", ["--per-chip-bs", "128", "--remat"], {}),
+        ("b64-s2d-vmem64m", ["--per-chip-bs", "64", "--s2d-stem"], VM64),
+        ("b64-vmem96m",
+         ["--per-chip-bs", "64"],
+         {"LIBTPU_INIT_ARGS": "--xla_tpu_scoped_vmem_limit_kib=98304"}),
+        ("b64-vmem128m",
+         ["--per-chip-bs", "64"],
+         {"LIBTPU_INIT_ARGS": "--xla_tpu_scoped_vmem_limit_kib=131072"}),
     ]
     if not args.quick:
         grid += [
-            ("b64-remat", ["--per-chip-bs", "64", "--remat"], {}),
-            ("b48", ["--per-chip-bs", "48"], {}),
-            ("b64-vmem64m",
-             ["--per-chip-bs", "64"],
-             {"LIBTPU_INIT_ARGS": "--xla_tpu_scoped_vmem_limit_kib=65536"}),
-            ("b64-vmem32m",
-             ["--per-chip-bs", "64"],
-             {"LIBTPU_INIT_ARGS": "--xla_tpu_scoped_vmem_limit_kib=32768"}),
+            # round-3 first sweep (results in PERF.md): b64 235.4,
+            # b64-remat 204.6, b48 192.4, b64-vmem64m 247.2, b64-vmem32m
+            # 243.2; b80/b96 compile-OOM, b96/b128-remat runtime-OOM
+            ("b64-baseline", ["--per-chip-bs", "64"], {}),
+            ("b64-s2d", ["--per-chip-bs", "64", "--s2d-stem"], {}),
+            ("b96-remat-vmem64m",
+             ["--per-chip-bs", "96", "--remat"], VM64),
         ]
 
     results = []

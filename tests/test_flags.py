@@ -222,3 +222,42 @@ def test_s3d_classify_model_name_uses_mlp_head(key):
     v2 = m2.init(key, x, train=False)
     assert "cls_bn" in v2["params"]
     assert v2["params"]["classify"]["kernel"].shape == (1024, 7)
+
+
+def test_r21d_s2d_stem_is_exact(key):
+    """--s2d_stem on r21d is the EXACT space-to-depth rewrite of the
+    stride-2 stem conv (layers.SpatialS2DConv): same parameter tree, same
+    outputs — unlike s3d where it is the reference's architecture variant."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from cstp_tpu.models.layers import Conv3d, SpatialS2DConv
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(0, 1, (2, 4, 32, 32, 3)).astype(np.float32))
+    c0 = Conv3d(45, (1, 7, 7), (1, 2, 2), (0, 3, 3), dtype=jnp.float32)
+    c1 = SpatialS2DConv(45, kernel_hw=7, pad=3, dtype=jnp.float32)
+    v = c0.init(key, x)  # identical param tree ('kernel', (1,7,7,3,45))
+    y0 = c0.apply(v, x)
+    y1 = c1.apply(v, x)
+    assert y0.shape == y1.shape == (2, 4, 16, 16, 45)
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_tpu_vmem_tuning_env(monkeypatch):
+    """apply_tpu_tuning appends the scoped-vmem flag unless the user set it
+    (or disabled with 0)."""
+    import os
+
+    from cstp_tpu.utils.profiling import apply_tpu_tuning
+
+    monkeypatch.delenv("LIBTPU_INIT_ARGS", raising=False)
+    apply_tpu_tuning(12345)
+    assert os.environ["LIBTPU_INIT_ARGS"] == \
+        "--xla_tpu_scoped_vmem_limit_kib=12345"
+    apply_tpu_tuning(999)  # present -> untouched
+    assert "12345" in os.environ["LIBTPU_INIT_ARGS"]
+    monkeypatch.setenv("LIBTPU_INIT_ARGS", "--foo=1")
+    apply_tpu_tuning(0)    # disabled -> untouched
+    assert os.environ["LIBTPU_INIT_ARGS"] == "--foo=1"

@@ -564,3 +564,105 @@ def test_torch_pth_import_covers_all_families(ref_r21d, ref_c3d, ref_r3d,
         # leaves; every *backbone* key must resolve
         bad = {k for k in flat_conv if k not in flat_model}
         assert not bad, (family, sorted(bad)[:8])
+
+
+def test_r21d_training_trajectory_matches_torch(ref_r21d):
+    """THREE full optimization steps match the reference loop end-to-end:
+    EMA-before-target-forward (r21d_byol.py:363-366), 7-term weighted loss
+    (main_byol.py:62-73), clip-grad-norm 18 (main_byol.py:88-90), SGD
+    momentum+weight-decay (main_byol.py:228-231), per-call BN batch stats.
+    This exercises gradients, the optimizer, EMA ordering, and BN running
+    stat updates jointly — the strongest trajectory-parity evidence short of
+    a full training run.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from cstp_tpu.config import Config
+    from cstp_tpu.train.pretrain import (
+        create_pretrain_state,
+        make_preaugmented_step,
+    )
+
+    B, T, S = 2, 8, 56
+    LR, W = 0.03, (0.1, 1.0, 1.0, 1.0, 1.0)
+    rng = np.random.default_rng(7)
+    views = [(_make_input((B, 3, T, S, S), seed=10 + i),
+              _make_input((B, 3, T, S, S), seed=20 + i)) for i in range(3)]
+    spa = rng.integers(0, 5, (B,)).astype(np.int64)
+    tem = rng.integers(0, 5, (B,)).astype(np.int64)
+    pb = rng.integers(0, 4, (B,)).astype(np.int64)
+    rot1 = rng.integers(0, 4, (B,)).astype(np.int64)
+    rot2 = rng.integers(0, 4, (B,)).astype(np.int64)
+
+    # ---- transplant the torch init into our model FIRST (the torch loop
+    # below mutates its weights in place, and .numpy() views share memory —
+    # deep-copy the transplanted tree before training either side)
+    import torch.nn.functional as F
+
+    tmod = ref_r21d.R21DBYOL(pretrain=True)
+    tmod.train()
+
+    cfg = Config(model_name="r21d", model_depth=1, sample_duration=T,
+                 sample_size=S, batch_size=B, compute_dtype="float32",
+                 learning_rate=LR, momentum=0.9, weight_decay=5e-4,
+                 loss_weight=W, clip_grad_norm=1,
+                 byol_momentum=0.996).finalize()
+    model, state, tx = create_pretrain_state(cfg, jax.random.PRNGKey(0))
+    params = _to_mutable({"params": state.params,
+                          "batch_stats": state.batch_stats})
+    p, s = params["params"], params["batch_stats"]
+    # R21DBYOL re-inits weights AFTER target deepcopy (glorot on everything),
+    # so online != target; transplant both towers + all heads.
+    _r21d_into(p["online_net"], s["online_net"], tmod.online_net)
+    _r21d_into(p["target_net"], s["target_net"], tmod.target_net)
+    _mlp_into(p["predictor"], s["predictor"], tmod.predictor.net)
+    for name, tseq in (("overlap_spa", tmod.overlap_spa),
+                       ("overlap_tem", tmod.overlap_tem),
+                       ("pb_cls", tmod.pb_cls),
+                       ("rotate_cls", tmod.rotate_cls)):
+        _mlp_into(p[name]["mlp"], s[name]["mlp"], tseq)
+    p = jax.tree.map(lambda a: np.array(a, copy=True), p)
+    s = jax.tree.map(lambda a: np.array(a, copy=True), s)
+    state = state.replace(params=p, batch_stats=s,
+                          opt_state=tx.init(p))
+
+    # ---- torch side: the reference training loop, verbatim semantics
+    opt = torch.optim.SGD(
+        [q for q in tmod.parameters() if q.requires_grad],
+        lr=LR, momentum=0.9, weight_decay=5e-4)
+    tlosses = []
+    for x1, x2 in views:
+        byol, (p_spa, p_tem, p_pb1, p_pb2, p_rot1, p_rot2) = tmod(
+            torch.from_numpy(x1), torch.from_numpy(x2), o_type="loss_com")
+        total = (W[0] * byol.mean()
+                 + W[1] * F.cross_entropy(p_spa, torch.from_numpy(spa))
+                 + W[2] * F.cross_entropy(p_tem, torch.from_numpy(tem))
+                 + W[3] * F.cross_entropy(p_pb1, torch.from_numpy(pb))
+                 + W[3] * F.cross_entropy(p_pb2, torch.from_numpy(pb))
+                 + W[4] * F.cross_entropy(p_rot1, torch.from_numpy(rot1))
+                 + W[4] * F.cross_entropy(p_rot2, torch.from_numpy(rot2)))
+        opt.zero_grad()
+        total.backward()
+        torch.nn.utils.clip_grad_norm_(tmod.parameters(), 18)
+        opt.step()
+        tlosses.append(float(total))
+
+    # ---- our side: same weights, same batches, jitted fused step
+    step = make_preaugmented_step(model, tx, cfg)
+    lr = jnp.asarray(LR, jnp.float32)
+    jlosses = []
+    for x1, x2 in views:
+        batch = {
+            "view1": jnp.asarray(np.transpose(x1, (0, 2, 3, 4, 1))),
+            "view2": jnp.asarray(np.transpose(x2, (0, 2, 3, 4, 1))),
+            "spa": jnp.asarray(spa.astype(np.int32)),
+            "tem": jnp.asarray(tem.astype(np.int32)),
+            "pb": jnp.asarray(pb.astype(np.int32)),
+            "rot1": jnp.asarray(rot1.astype(np.int32)),
+            "rot2": jnp.asarray(rot2.astype(np.int32)),
+        }
+        state, metrics = step(state, batch, lr)
+        jlosses.append(float(metrics["loss"]))
+
+    np.testing.assert_allclose(jlosses, tlosses, rtol=5e-3, atol=5e-3)
