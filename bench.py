@@ -46,6 +46,9 @@ def main():
     ap.add_argument("--concat-views", type=int, default=1)
     ap.add_argument("--s2d-stem", action="store_true",
                     help="exact space-to-depth stem rewrite (r21d)")
+    ap.add_argument("--model", default="r21d",
+                    help="backbone family (r21d|c3d|r3d|s3d|i3d)")
+    ap.add_argument("--depth", type=int, default=1)
     args = ap.parse_args()
 
     import jax
@@ -68,8 +71,8 @@ def main():
     n_dev = len(jax.devices())
     per_chip_bs = args.per_chip_bs
     cfg = Config(
-        model_name="r21d",
-        model_depth=1,
+        model_name=args.model,
+        model_depth=args.depth,
         sample_duration=16,
         sample_size=112,
         batch_size=per_chip_bs * n_dev,

@@ -178,10 +178,13 @@ def make_optimizer(
         else:
             chain.append(optax.trace(decay=momentum, nesterov=nesterov))
     elif name == "adam":
+        # L2-style decay feeding the moments + torch-default betas
+        # (reference passes none — main_byol.py:238-240)
         if weight_decay:
             chain.append(optax.add_decayed_weights(weight_decay))
-        chain.append(optax.scale_by_adam(b1=0.9, b2=0.99))  # main_byol.py:236
+        chain.append(optax.scale_by_adam(b1=0.9, b2=0.999))
     elif name == "adamw":
+        # decoupled decay + explicit betas(0.9, 0.99) (main_byol.py:233-236)
         chain.append(optax.scale_by_adam(b1=0.9, b2=0.99))
         if weight_decay:
             chain.append(optax.add_decayed_weights(weight_decay))

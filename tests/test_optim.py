@@ -119,3 +119,37 @@ def test_param_labels_freezes_target():
     upd, _ = tx.update(grads, st, params)
     assert np.asarray(upd["target_net"]["conv"]["kernel"]).max() == 0.0
     assert np.asarray(upd["online_net"]["conv"]["kernel"]).max() != 0.0
+
+
+def test_adam_and_adamw_match_torch_semantics():
+    """adam = L2 decay into the moments, torch-default betas; adamw =
+    decoupled decay, betas (0.9, 0.99) (reference main_byol.py:233-240)."""
+    import torch
+
+    w0 = np.asarray([1.0, -2.0, 3.0], np.float32)
+    lr, wd = 0.01, 0.05
+    grads = [np.asarray([0.5, -0.1, 0.2], np.float32),
+             np.asarray([-0.3, 0.4, 0.1], np.float32),
+             np.asarray([0.2, 0.2, -0.5], np.float32)]
+
+    for name, topt in (
+        ("adam", lambda p: torch.optim.Adam([p], lr=lr, weight_decay=wd)),
+        ("adamw", lambda p: torch.optim.AdamW([p], lr=lr, betas=(0.9, 0.99),
+                                              weight_decay=wd)),
+    ):
+        p = torch.nn.Parameter(torch.tensor(w0))
+        opt = topt(p)
+        for g in grads:
+            opt.zero_grad()
+            p.grad = torch.tensor(g)
+            opt.step()
+        want = p.detach().numpy()
+
+        params = {"w": jnp.asarray(w0)}
+        tx = optim.make_optimizer(name, weight_decay=wd, clip_grad_norm=None)
+        st = tx.init(params)
+        for g in grads:
+            upd, st = tx.update({"w": jnp.asarray(g)}, st, params)
+            params = optim.apply_lr(params, upd, lr)
+        np.testing.assert_allclose(np.asarray(params["w"]), want, rtol=1e-5,
+                                   err_msg=name)
