@@ -103,6 +103,13 @@ class Config:
     tpu_vmem_limit_kib: int = 65536         # scoped-vmem compiler budget
                                             # (+5% measured, PERF.md round 3;
                                             # 0 = leave libtpu default)
+    shard_opt_state: int = 0                # ZeRO-1: shard optimizer state
+                                            # over 'data' (arXiv:2004.13336)
+    ema_ref_batch: int = 0                  # >0: scale byol_momentum for the
+                                            # actual global batch as m**(B/ref)
+                                            # ("How to Scale Your EMA",
+                                            # arXiv:2307.13813) — e.g. 128 =
+                                            # the reference Kinetics batch
     remat: bool = False                     # rematerialize residual stages
                                             # (activation HBM -> recompute;
                                             # enables larger per-chip batch)
@@ -217,6 +224,9 @@ def _add_args(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--pallas_augment", default=c.pallas_augment,
                         choices=["auto", "on", "off"])
     parser.add_argument("--tpu_vmem_limit_kib", default=c.tpu_vmem_limit_kib,
+                        type=int)
+    parser.add_argument("--ema_ref_batch", default=c.ema_ref_batch, type=int)
+    parser.add_argument("--shard_opt_state", default=c.shard_opt_state,
                         type=int)
     parser.add_argument("--tf_i3d_ckpt", default=c.tf_i3d_ckpt, type=str)
     parser.add_argument("--data_echo", default=c.data_echo, type=int)

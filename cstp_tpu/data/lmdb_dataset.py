@@ -86,18 +86,29 @@ class LMDBVideoDataset:
         return _unpack(self.db[self.keys[i]])
 
     def read_frames(self, i: int, indices: Sequence[int]) -> np.ndarray:
-        from PIL import Image
-
         blobs = self.frame_blobs(i)
-        out = np.empty((len(indices), self.h0, self.w0, 3), np.uint8)
-        cache = {}
-        for j, idx in enumerate(indices):
-            idx = min(int(idx), len(blobs) - 1)
-            if idx not in cache:
-                with Image.open(io.BytesIO(blobs[idx])) as img:
-                    cache[idx] = np.asarray(
+        idxs = [min(int(x), len(blobs) - 1) for x in indices]
+        uniq = sorted(set(idxs))
+
+        # native libjpeg pool when available (native/cstpack_reader.cc
+        # cstp_decode_blobs); PIL otherwise
+        from cstp_tpu.data.native_reader import decode_jpeg_blobs
+
+        decoded = decode_jpeg_blobs([blobs[u] for u in uniq],
+                                    (self.h0, self.w0))
+        if decoded is not None:
+            cache = {u: decoded[k] for k, u in enumerate(uniq)}
+        else:
+            from PIL import Image
+
+            cache = {}
+            for u in uniq:
+                with Image.open(io.BytesIO(blobs[u])) as img:
+                    cache[u] = np.asarray(
                         img.convert("RGB").resize((self.w0, self.h0),
                                                   Image.BILINEAR), np.uint8)
+        out = np.empty((len(idxs), self.h0, self.w0, 3), np.uint8)
+        for j, idx in enumerate(idxs):
             out[j] = cache[idx]
         return out
 

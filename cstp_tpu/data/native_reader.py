@@ -59,8 +59,44 @@ def load_native_lib() -> Optional[ctypes.CDLL]:
         ctypes.c_int,
     ]
     lib.cstpack_close.argtypes = [ctypes.c_void_p]
+    if hasattr(lib, "cstp_decode_blobs"):  # added after round 2; stale .so
+        lib.cstp_decode_blobs.restype = ctypes.c_int
+        lib.cstp_decode_blobs.argtypes = [
+            ctypes.POINTER(ctypes.c_void_p),
+            ctypes.POINTER(ctypes.c_size_t),
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+            ctypes.c_int,
+        ]
     _lib = lib
     return lib
+
+
+def decode_jpeg_blobs(blobs: Sequence[bytes], out_hw: Tuple[int, int],
+                      n_threads: int = 4) -> Optional[np.ndarray]:
+    """Decode+resize independent JPEG byte blobs -> (n, H, W, 3) u8 via the
+    native libjpeg pool (serves the reference-LMDB msgpack'd-JPEG path and
+    frame-dir ingest). Returns None when the native library is unavailable
+    or lacks the entry point (callers fall back to PIL); failed blobs are
+    zero-filled with a warning, matching ``read_clips`` fault semantics."""
+    lib = load_native_lib()
+    if lib is None or not hasattr(lib, "cstp_decode_blobs"):
+        return None
+    n = len(blobs)
+    h, w = out_hw
+    out = np.empty((n, h, w, 3), np.uint8)
+    if n == 0:
+        return out
+    ptrs = (ctypes.c_void_p * n)(
+        *[ctypes.cast(ctypes.c_char_p(b), ctypes.c_void_p) for b in blobs])
+    lens = (ctypes.c_size_t * n)(*[len(b) for b in blobs])
+    errs = lib.cstp_decode_blobs(ptrs, lens, n, h, w, out.reshape(-1),
+                                 n_threads)
+    if errs:
+        import warnings
+
+        warnings.warn(f"{errs} JPEG blob decode errors (zero-filled)")
+    return out
 
 
 class NativePackedDataset:

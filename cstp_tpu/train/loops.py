@@ -184,7 +184,7 @@ def run_pretrain(config: Config, max_steps_per_epoch: int = 0) -> Dict:
             params=tree["params"], batch_stats=tree["batch_stats"],
             opt_state=tree["opt_state"], step=jnp.asarray(tree["step"]),
         )
-    state = shard_state(mesh, state)
+    state = shard_state(mesh, state, zero_opt=bool(config.shard_opt_state))
 
     logger = Logger(
         os.path.join(
@@ -367,7 +367,7 @@ def run_finetune(config: Config, max_steps_per_epoch: int = 0) -> Dict:
         best = {"acc": float(meta.get("best_acc", -1.0)),
                 "path": config.resume_md_path, "epoch": ep}
         begin_epoch = int(meta.get("epoch", ep + 1))
-    state = shard_state(mesh, state)
+    state = shard_state(mesh, state, zero_opt=bool(config.shard_opt_state))
 
     step_fn = make_finetune_step(model, tx, config)
     eval_fn = make_eval_step(model, config)
@@ -479,7 +479,7 @@ def run_test(config: Config, max_videos: int = 0) -> Dict:
     assert config.arch == str(meta.get("arch", config.arch))
     state = state.replace(params=tree["params"],
                           batch_stats=tree["batch_stats"])
-    state = shard_state(mesh, state)
+    state = shard_state(mesh, state, zero_opt=bool(config.shard_opt_state))
     logits_fn = make_logits_step(model, config)
 
     result_dir = os.path.join(config.result_path, config.dataset)

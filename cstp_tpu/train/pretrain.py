@@ -58,6 +58,19 @@ def bn_groups_from_config(config: Config) -> int:
     return shape[list(config.mesh_axes).index("data")]
 
 
+def effective_byol_momentum(config: Config) -> float:
+    """BYOL target-EMA momentum, optionally batch-scaled: with
+    ``--ema_ref_batch R`` the momentum becomes ``m ** (B / R)`` so the EMA
+    timescale (in samples seen) is preserved when the global batch differs
+    from the reference recipe's ("How to Scale Your EMA", arXiv:2307.13813
+    scaling rule; reference fixes m=0.996 at B=128, main_byol.py headline
+    config)."""
+    m = config.byol_momentum
+    if config.ema_ref_batch > 0:
+        m = float(m ** (config.batch_size / config.ema_ref_batch))
+    return m
+
+
 def create_pretrain_model(config: Config) -> CSTPPretrain:
     return CSTPPretrain(
         backbone=config.model_name,
@@ -143,7 +156,7 @@ def _build_pretrain_programs(model: CSTPPretrain, tx, config: Config):
     # the pretext heads still logged as metrics)
     w = (config.loss_weight if config.task != "r_byol"
          else (1.0, 0.0, 0.0, 0.0, 0.0))
-    momentum = config.byol_momentum
+    momentum = effective_byol_momentum(config)
     sample_size = config.sample_size
 
     ntxent_w = config.ntxent_weight
@@ -262,7 +275,7 @@ def make_preaugmented_step(model: CSTPPretrain, tx, config: Config):
     """Step variant taking already-augmented views — used by parity tests
     and any host-side augmentation path."""
     w = config.loss_weight
-    momentum = config.byol_momentum
+    momentum = effective_byol_momentum(config)
 
     def loss_fn(params, batch_stats, batch):
         (byol, logits), mutated = model.apply(

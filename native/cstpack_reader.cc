@@ -197,9 +197,68 @@ void* BatchWorker(void* arg) {
   return nullptr;
 }
 
+// ---- generic blob decode pool (LMDB / frame-dir ingest) ----
+struct BlobTask {
+  const uint8_t* const* blobs;  // (n,) pointers
+  const size_t* lens;           // (n,)
+  int n, out_h, out_w;
+  uint8_t* out;                 // (n, out_h, out_w, 3)
+  pthread_mutex_t mu;
+  int next;
+  int errors;
+};
+
+void* BlobWorker(void* arg) {
+  BlobTask* t = static_cast<BlobTask*>(arg);
+  const size_t frame_bytes = size_t(t->out_h) * t->out_w * 3;
+  std::vector<uint8_t> rgb;
+  while (true) {
+    pthread_mutex_lock(&t->mu);
+    int i = t->next++;
+    pthread_mutex_unlock(&t->mu);
+    if (i >= t->n) break;
+    uint8_t* dst = t->out + size_t(i) * frame_bytes;
+    int w = 0, h = 0;
+    if (DecodeJpeg(t->blobs[i], t->lens[i], &rgb, &w, &h)) {
+      ResizeBilinear(rgb.data(), w, h, dst, t->out_w, t->out_h);
+    } else {
+      pthread_mutex_lock(&t->mu);
+      t->errors++;
+      pthread_mutex_unlock(&t->mu);
+      std::memset(dst, 0, frame_bytes);
+    }
+  }
+  return nullptr;
+}
+
 }  // namespace
 
 extern "C" {
+
+// Decode n independent JPEG blobs into (n, out_h, out_w, 3) u8 with the
+// libjpeg pool — serves the reference-LMDB (msgpack'd JPEG lists) and
+// frame-dir ingest paths, which otherwise decode via PIL in Python.
+// Returns #failed blobs; failures are zero-filled.
+int cstp_decode_blobs(const uint8_t* const* blobs, const size_t* lens, int n,
+                      int out_h, int out_w, uint8_t* out, int n_threads) {
+  BlobTask task;
+  task.blobs = blobs;
+  task.lens = lens;
+  task.n = n;
+  task.out_h = out_h;
+  task.out_w = out_w;
+  task.out = out;
+  pthread_mutex_init(&task.mu, nullptr);
+  task.next = 0;
+  task.errors = 0;
+  int nt = n_threads < 1 ? 1 : (n_threads > n ? n : n_threads);
+  std::vector<pthread_t> threads(nt);
+  for (int i = 0; i < nt; ++i)
+    pthread_create(&threads[i], nullptr, BlobWorker, &task);
+  for (int i = 0; i < nt; ++i) pthread_join(threads[i], nullptr);
+  pthread_mutex_destroy(&task.mu);
+  return task.errors;
+}
 
 void* cstpack_open(const char* path) {
   Pack* p = new Pack();

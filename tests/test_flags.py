@@ -261,3 +261,19 @@ def test_tpu_vmem_tuning_env(monkeypatch):
     monkeypatch.setenv("LIBTPU_INIT_ARGS", "--foo=1")
     apply_tpu_tuning(0)    # disabled -> untouched
     assert os.environ["LIBTPU_INIT_ARGS"] == "--foo=1"
+
+
+def test_ema_ref_batch_scales_momentum():
+    """--ema_ref_batch R preserves the EMA timescale across batch sizes:
+    m_eff = m ** (B/R) (arXiv:2307.13813)."""
+    from cstp_tpu.train.pretrain import effective_byol_momentum
+
+    base = Config(model_name="r21d", model_depth=1, batch_size=256,
+                  byol_momentum=0.996).finalize()
+    assert effective_byol_momentum(base) == 0.996  # off by default
+    scaled = Config(model_name="r21d", model_depth=1, batch_size=256,
+                    byol_momentum=0.996, ema_ref_batch=128).finalize()
+    np.testing.assert_allclose(effective_byol_momentum(scaled), 0.996 ** 2.0)
+    same = Config(model_name="r21d", model_depth=1, batch_size=128,
+                  byol_momentum=0.996, ema_ref_batch=128).finalize()
+    np.testing.assert_allclose(effective_byol_momentum(same), 0.996)

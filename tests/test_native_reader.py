@@ -127,3 +127,32 @@ def test_native_out_of_range_indices_zero_fill(shard):
                                np.asarray([[0, 1]], np.int32))
     assert clips.max() == 0
     nat.close()
+
+
+def test_decode_jpeg_blobs_matches_pil_and_survives_corrupt():
+    """cstp_decode_blobs: the generic blob-decode pool used by the LMDB
+    ingest path (native/cstpack_reader.cc)."""
+    import io
+
+    from PIL import Image
+
+    if native.load_native_lib() is None:
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(3)
+    # low-frequency image so non-antialiased bilinear ~ PIL's resize
+    base = rng.integers(60, 200, (8, 10, 3)).astype(np.uint8)
+    img = np.asarray(Image.fromarray(base).resize((80, 64), Image.BILINEAR))
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, "JPEG", quality=95)
+    blob = buf.getvalue()
+
+    out = native.decode_jpeg_blobs([blob, blob], (32, 40), n_threads=2)
+    assert out is not None and out.shape == (2, 32, 40, 3)
+    ref = np.asarray(Image.open(io.BytesIO(blob)).resize((40, 32),
+                                                         Image.BILINEAR))
+    assert np.abs(out[0].astype(int) - ref.astype(int)).mean() < 6
+    np.testing.assert_array_equal(out[0], out[1])
+
+    with pytest.warns(UserWarning):
+        bad = native.decode_jpeg_blobs([b"notajpeg", blob], (16, 16))
+    assert bad[0].max() == 0 and bad[1].std() > 1

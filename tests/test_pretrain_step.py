@@ -137,3 +137,42 @@ def test_bn_stats_are_per_view_in_all_blocks():
                                rtol=1e-5, atol=1e-5)
     # sanity: view-2 heads DO change
     assert not np.allclose(np.asarray(outs_a[3]), np.asarray(outs_b[3]))
+
+
+def test_zero1_opt_state_sharding_is_equivalent(setup):
+    """--shard_opt_state (ZeRO-1, arXiv:2004.13336): momentum buffers shard
+    over 'data'; the training math is bit-identical to the replicated run."""
+    from jax.sharding import PartitionSpec as P
+
+    from cstp_tpu.parallel import shard_state
+
+    cfg, model, state, step, mesh, batch = setup
+    # the step donates its input state and device_put to an identical
+    # sharding aliases buffers — re-materialize each run from a host copy
+    host = jax.tree_util.tree_map(np.asarray, jax.device_get(state))
+    fresh = lambda: jax.tree_util.tree_map(jnp.asarray, host)
+    sharded = shard_state(mesh, fresh(), zero_opt=True)
+
+    # big momentum leaves actually get a 'data' dimension
+    specs = [
+        x.sharding.spec for x in jax.tree_util.tree_leaves(sharded.opt_state)
+        if hasattr(x, "sharding") and x.ndim >= 1 and
+        max(x.shape) % mesh.shape["data"] == 0 and
+        max(x.shape) >= mesh.shape["data"]
+    ]
+    assert specs and all(any(s == "data" for s in spec if s) or spec != P()
+                         for spec in specs)
+    assert any(spec != P() for spec in specs)
+
+    dbatch = shard_batch(mesh, batch)
+    lr = jnp.asarray(cfg.learning_rate, jnp.float32)
+    s0, m0 = step(replicate(mesh, fresh()), jax.random.PRNGKey(3), dbatch, lr)
+    s1, m1 = step(sharded, jax.random.PRNGKey(3), dbatch, lr)
+    np.testing.assert_allclose(float(m0["loss"]), float(m1["loss"]),
+                               rtol=1e-6)
+    # updated params identical too
+    p0 = jax.device_get(s0.params)
+    p1 = jax.device_get(s1.params)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-3, atol=5e-5),
+        p0, p1)
