@@ -49,9 +49,17 @@ def create_classify_model(config: Config, num_classes: int) -> CSTPClassify:
 def finetune_frozen_prefixes(config: Config) -> Tuple[str, ...]:
     """ft_begin_index semantics (reference r21d_byol.py:10-35 +
     models/model.py:122-128): ft_all(0) trains everything; ft_fc(5) trains
-    only the classifier (+cls_bn); 1..4 trains layer{i}..layer4 + classifier.
+    ONLY the classifier; 1..4 trains layer{i}..layer4 + classifier.
 
-    Our r21d stage names: conv1/bn1 = stem, conv2..conv5 = layer1..layer4.
+    With any idx > 0 the reference also freezes ``cls_bn`` ('cls_bn' never
+    matches the ft_module_names substring test, so its affine params land in
+    the lr-0.0 group — r21d_byol.py:29-33); its RUNNING stats still update
+    in train mode, which batch_stats mutation reproduces here.
+
+    Our r21d stage names: conv1/bn1 = stem, conv2..conv5 = layer1..layer4
+    (the reference's 'layer{i}' names only exist on the r3d family; for
+    r21d its 1..4 indices degenerate to classifier-only — we implement the
+    documented intent instead).
     """
     idx = config.ft_begin_index
     if config.task == "ft_fc":
@@ -61,9 +69,9 @@ def finetune_frozen_prefixes(config: Config) -> Tuple[str, ...]:
     if idx == 0:
         return ()
     if idx >= 5:
-        return ("online_net",)
+        return ("online_net", "cls_bn")
     # freeze stem + stages below layer{idx}
-    frozen = ["online_net/conv1", "online_net/bn1"]
+    frozen = ["online_net/conv1", "online_net/bn1", "cls_bn"]
     for i in range(1, idx):
         frozen.append(f"online_net/conv{i + 1}")
     return tuple(frozen)

@@ -176,3 +176,41 @@ def test_zero1_opt_state_sharding_is_equivalent(setup):
     jax.tree_util.tree_map(
         lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-3, atol=5e-5),
         p0, p1)
+
+
+def test_concat_views_matches_reference_call_pattern():
+    """The batched-2B tower call with grouped per-view BN (--concat_views 1,
+    the fast path) computes EXACTLY the reference's two-per-view-calls
+    pattern (--concat_views 0): same loss, same logits. This is the
+    invariant that justifies the throughput optimization (PERF.md round 3).
+
+    Running stats differ in a documented way (one averaged update vs two
+    sequential ones), so only outputs are compared.
+    """
+    import dataclasses
+
+    from cstp_tpu.train.pretrain import create_pretrain_model
+
+    cfg = Config(model_name="r21d", model_depth=1, sample_duration=4,
+                 sample_size=32, batch_size=4,
+                 compute_dtype="float32").finalize()
+    rng = np.random.default_rng(5)
+    x1 = jnp.asarray(rng.normal(0, 1, (4, 4, 32, 32, 3)).astype(np.float32))
+    x2 = jnp.asarray(rng.normal(0, 1, (4, 4, 32, 32, 3)).astype(np.float32))
+
+    m_cat = create_pretrain_model(cfg)
+    m_ref = create_pretrain_model(dataclasses.replace(cfg, concat_views=0))
+    v = m_cat.init(jax.random.PRNGKey(0), x1, x2, train=False)
+    # identical param trees: the call pattern doesn't change parameters
+    chex = jax.tree_util.tree_structure(v)
+    assert chex == jax.tree_util.tree_structure(
+        m_ref.init(jax.random.PRNGKey(0), x1, x2, train=False))
+
+    (loss_a, outs_a), _ = m_cat.apply(v, x1, x2, train=True,
+                                      mutable=["batch_stats"])
+    (loss_b, outs_b), _ = m_ref.apply(v, x1, x2, train=True,
+                                      mutable=["batch_stats"])
+    np.testing.assert_allclose(float(loss_a), float(loss_b), rtol=1e-5)
+    for i, (a, b) in enumerate(zip(outs_a, outs_b)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+                                   atol=1e-4, err_msg=f"logits {i}")

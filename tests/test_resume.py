@@ -76,9 +76,9 @@ def test_pad_windows_to_bucket():
 
 
 def test_ft_fc_freezes_backbone(tmp_path):
-    """task ft_fc: backbone params must not move over a train step; the
-    classifier (+cls_bn) must (reference ft_begin_index=5 semantics,
-    models/model.py:122-142)."""
+    """task ft_fc: backbone AND cls_bn params must not move over a train
+    step; the classifier must (reference ft_begin_index=5 semantics,
+    models/model.py:122-142 + r21d_byol.py:29-33 lr-0 group for cls_bn)."""
     import jax
     import jax.numpy as jnp
 
@@ -100,3 +100,5 @@ def test_ft_fc_freezes_backbone(tmp_path):
         after["online_net"]["conv1"]["spatial_conv"]["kernel"])
     assert not np.array_equal(before["classify"]["kernel"],
                               after["classify"]["kernel"])
+    np.testing.assert_array_equal(before["cls_bn"]["bn"]["scale"],
+                                  after["cls_bn"]["bn"]["scale"])

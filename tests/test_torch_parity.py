@@ -666,3 +666,86 @@ def test_r21d_training_trajectory_matches_torch(ref_r21d):
         jlosses.append(float(metrics["loss"]))
 
     np.testing.assert_allclose(jlosses, tlosses, rtol=5e-3, atol=5e-3)
+
+
+def test_r21d_ft_fc_training_trajectory_matches_torch(ref_r21d):
+    """THREE finetune steps under task ft_fc match the reference loop:
+    frozen backbone + frozen cls_bn affine (lr-0.0 groups,
+    r21d_byol.py:29-33), cls_bn RUNNING stats still drifting in train mode,
+    CE loss, unclipped SGD momentum+wd (main_ft_mp.py:132-137,211-213)."""
+    import jax
+    import jax.numpy as jnp
+
+    from cstp_tpu.config import Config
+    from cstp_tpu.ssl.byol import CSTPClassify, cross_entropy
+    from cstp_tpu.train.finetune import create_finetune_state
+    from cstp_tpu.train import optim as optim_lib
+
+    B, T, S, NC = 2, 8, 56, 7
+    LR = 0.02
+    rng = np.random.default_rng(11)
+    xs = [_make_input((B, 3, T, S, S), seed=30 + i) for i in range(3)]
+    ys = rng.integers(0, NC, (B,)).astype(np.int64)
+
+    tmod = ref_r21d.R21DBYOL(pretrain=False, num_classes=NC, cls_bn=True)
+    tmod.train()
+
+    cfg = Config(model_name="r21d", model_depth=1, sample_duration=T,
+                 sample_size=S, batch_size=B, compute_dtype="float32",
+                 learning_rate=LR, momentum=0.9, weight_decay=1e-3,
+                 task="ft_fc").finalize()
+    model, state, tx = create_finetune_state(cfg, jax.random.PRNGKey(0), NC)
+    variables = _to_mutable({"params": state.params,
+                             "batch_stats": state.batch_stats})
+    p, s = variables["params"], variables["batch_stats"]
+    _r21d_into(p["online_net"], s["online_net"], tmod.online_net)
+    _bn_into(p["cls_bn"]["bn"], s["cls_bn"]["bn"], tmod.cls_bn)
+    p["classify"]["kernel"] = _t2j_linear(tmod.classify.weight)
+    p["classify"]["bias"] = tmod.classify.bias.detach().numpy()
+    p = jax.tree.map(lambda a: np.array(a, copy=True), p)
+    s = jax.tree.map(lambda a: np.array(a, copy=True), s)
+    state = state.replace(params=p, batch_stats=s, opt_state=tx.init(p))
+
+    # torch reference loop (after transplant: torch mutates in place)
+    import torch.nn.functional as F
+
+    params = ref_r21d.get_fine_tuning_parameters(tmod, 5)
+    opt = torch.optim.SGD(params, lr=LR, momentum=0.9, weight_decay=1e-3)
+    tlosses = []
+    for x in xs:
+        out = tmod(torch.from_numpy(x), o_type="ft_fc")
+        loss = F.cross_entropy(out, torch.from_numpy(ys))
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        tlosses.append(float(loss))
+
+    @jax.jit
+    def step(state, x, y):
+        def loss_fn(prm, stats):
+            logits, mutated = model.apply(
+                {"params": prm, "batch_stats": stats}, x, train=True,
+                mutable=["batch_stats"])
+            return cross_entropy(logits, y), mutated["batch_stats"]
+
+        (loss, new_stats), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, state.batch_stats)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optim_lib.apply_lr(state.params, updates,
+                                        jnp.float32(LR))
+        return state.replace(step=state.step + 1, params=new_params,
+                             batch_stats=new_stats, opt_state=new_opt), loss
+
+    jlosses = []
+    for x in xs:
+        xj = jnp.asarray(np.transpose(x, (0, 2, 3, 4, 1)))
+        state, loss = step(state, xj, jnp.asarray(ys.astype(np.int32)))
+        jlosses.append(float(loss))
+
+    np.testing.assert_allclose(jlosses, tlosses, rtol=5e-3, atol=5e-3)
+    # frozen cls_bn affine stayed put; its running stats moved
+    assert np.array_equal(np.asarray(state.params["cls_bn"]["bn"]["scale"]),
+                          p["cls_bn"]["bn"]["scale"])
+    assert not np.array_equal(
+        np.asarray(state.batch_stats["cls_bn"]["bn"]["mean"]),
+        s["cls_bn"]["bn"]["mean"])
