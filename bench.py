@@ -49,6 +49,9 @@ def main():
     ap.add_argument("--model", default="r21d",
                     help="backbone family (r21d|c3d|r3d|s3d|i3d)")
     ap.add_argument("--depth", type=int, default=1)
+    ap.add_argument("--mode", default="pretrain",
+                    choices=["pretrain", "ft"],
+                    help="ft = supervised finetune step (1 tower + CE)")
     args = ap.parse_args()
 
     import jax
@@ -84,22 +87,43 @@ def main():
     ).finalize()
 
     mesh = create_mesh(cfg.mesh_shape, cfg.mesh_axes)
-    model, state, tx = create_pretrain_state(cfg, jax.random.PRNGKey(0))
-    state = shard_state(mesh, state)
-    step = make_pretrain_step(model, tx, cfg)
-
     rng = np.random.default_rng(0)
     b, t, h0, w0 = cfg.batch_size, cfg.sample_duration, 128, 171
+    if args.mode == "ft":
+        import dataclasses
 
-    def make_batch():
-        return shard_batch(mesh, {
-            "frames1": rng.integers(0, 255, (b, t, h0, w0, 3)).astype(np.uint8),
-            "frames2": rng.integers(0, 255, (b, t, h0, w0, 3)).astype(np.uint8),
-            "rot1": rng.integers(0, 4, (b,)).astype(np.int32),
-            "rot2": rng.integers(0, 4, (b,)).astype(np.int32),
-            "tem": rng.integers(0, 5, (b,)).astype(np.int32),
-            "pb": rng.integers(0, 4, (b,)).astype(np.int32),
-        })
+        from cstp_tpu.train.finetune import (
+            create_finetune_state,
+            make_finetune_step,
+        )
+
+        cfg = dataclasses.replace(cfg, task="ft_all").finalize()
+        model, state, tx = create_finetune_state(
+            cfg, jax.random.PRNGKey(0), cfg.n_finetune_classes)
+        state = shard_state(mesh, state)
+        step = make_finetune_step(model, tx, cfg)
+
+        def make_batch():
+            return shard_batch(mesh, {
+                "frames": rng.integers(0, 255, (b, t, h0, w0, 3)).astype(
+                    np.uint8),
+                "labels": rng.integers(0, cfg.n_finetune_classes, (b,)).astype(
+                    np.int32),
+            })
+    else:
+        model, state, tx = create_pretrain_state(cfg, jax.random.PRNGKey(0))
+        state = shard_state(mesh, state)
+        step = make_pretrain_step(model, tx, cfg)
+
+        def make_batch():
+            return shard_batch(mesh, {
+                "frames1": rng.integers(0, 255, (b, t, h0, w0, 3)).astype(np.uint8),
+                "frames2": rng.integers(0, 255, (b, t, h0, w0, 3)).astype(np.uint8),
+                "rot1": rng.integers(0, 4, (b,)).astype(np.int32),
+                "rot2": rng.integers(0, 4, (b,)).astype(np.int32),
+                "tem": rng.integers(0, 5, (b,)).astype(np.int32),
+                "pb": rng.integers(0, 4, (b,)).astype(np.int32),
+            })
 
     lr = jnp.asarray(0.03, jnp.float32)
     key = jax.random.PRNGKey(1)
@@ -111,8 +135,9 @@ def main():
     keys = list(jax.device_put(np.asarray(
         jax.random.split(key, n_steps + args.warmup))))
     batches = [make_batch() for _ in range(3)]
+    fkey = "frames" if args.mode == "ft" else "frames1"
     for bt in batches:
-        _ = np.asarray(bt["frames1"][0, 0, 0, 0, 0])
+        _ = np.asarray(bt[fkey][0, 0, 0, 0, 0])
     _ = np.asarray(keys[0])
 
     for i in range(args.warmup):
@@ -133,7 +158,7 @@ def main():
     per_chip = clips_per_sec / n_dev
     step_s = dt / n_steps
 
-    if args.breakdown or args.cost:
+    if (args.breakdown or args.cost) and args.mode == "pretrain":
         from cstp_tpu.train.pretrain import split_pretrain_step
         aug, train = split_pretrain_step(model, tx, cfg)
         bt = make_batch()
@@ -173,7 +198,8 @@ def main():
                 aug_cost, step_s), default=str, indent=2))
 
     print(json.dumps({
-        "metric": "pretrain_clips_per_sec_per_chip",
+        "metric": f"{'finetune' if args.mode == 'ft' else 'pretrain'}"
+                  "_clips_per_sec_per_chip",
         "value": round(per_chip, 2),
         "unit": "clips/s/chip",
         "vs_baseline": round(per_chip / 2000.0, 4),
