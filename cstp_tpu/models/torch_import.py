@@ -144,8 +144,13 @@ _BACKBONE_PATHS = {
 }
 
 # heads whose reference form is Sequential(Linear, BN, ReLU, Linear); our
-# PretextHead 'mlp' style nests an MLPHead under "mlp"
-_PRETEXT_HEADS = ("overlap_spa", "overlap_tem", "pb_cls", "rotate_cls")
+# PretextHead 'mlp' style nests an MLPHead under "mlp". The r3d/i3d BYOL
+# wrappers name the rotation head ``rot_cls`` (r3d_byol.py:253,
+# i3d_byol.py:628) where r21d/c3d/s3d use ``rotate_cls`` — both map to our
+# canonical ``rotate_cls``.
+_PRETEXT_HEADS = ("overlap_spa", "overlap_tem", "pb_cls", "rotate_cls",
+                  "rot_cls")
+_HEAD_CANON = {"rot_cls": "rotate_cls"}
 
 
 def _top_path(parts: List[str], family: str, mlp_heads: bool) -> List[str]:
@@ -156,6 +161,7 @@ def _top_path(parts: List[str], family: str, mlp_heads: bool) -> List[str]:
         assert parts[1] == "net"
         return ["predictor", _MLP_IDX[parts[2]]] + parts[3:]
     if p in _PRETEXT_HEADS:
+        p = _HEAD_CANON.get(p, p)
         if mlp_heads:  # Sequential directly on the attribute
             return [p, "mlp", _MLP_IDX[parts[1]]] + parts[2:]
         return [p, "fc"] + parts[1:]          # plain nn.Linear

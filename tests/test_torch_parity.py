@@ -749,3 +749,69 @@ def test_r21d_ft_fc_training_trajectory_matches_torch(ref_r21d):
     assert not np.array_equal(
         np.asarray(state.batch_stats["cls_bn"]["bn"]["mean"]),
         s["cls_bn"]["bn"]["mean"])
+
+
+@pytest.mark.parametrize("family,shape", [("c3d", (2, 3, 8, 48, 48)),
+                                          ("s3d", (2, 3, 8, 64, 64)),
+                                          ("r3d", (2, 3, 8, 48, 48)),
+                                          ("i3d", (2, 3, 16, 64, 64))])
+def test_full_byol_forward_matches_torch_other_families(
+        ref_c3d, ref_s3d, ref_r3d, ref_i3d, family, shape):
+    """Full pretrain forward parity for the non-flagship head styles:
+    c3d = no projector + plain-Linear heads (c3d_byol.py:144-153), s3d =
+    1024-d projector + MLP heads (s3dg.py:336-360), r3d/i3d = Linear heads
+    with the ``rot_cls`` naming (r3d_byol.py:250-253, i3d_byol.py:625-628).
+    Weights arrive through convert_torch_state_dict — so this also proves
+    the .pth import path end-to-end numerically for these families."""
+    import argparse
+
+    import jax
+    import jax.numpy as jnp
+
+    from cstp_tpu.ckpt.checkpoint import _merge_by_name
+    from cstp_tpu.models.torch_import import convert_torch_state_dict
+    from cstp_tpu.ssl.byol import CSTPPretrain
+
+    if family == "c3d":
+        tmod = ref_c3d.C3DBYOL(pretrain=True)
+        depth = 1
+    elif family == "r3d":
+        opts = argparse.Namespace(model_depth=18, sample_size=48,
+                                  sample_duration=8, sc_type="B",
+                                  n_classes=101)
+        tmod = ref_r3d.R3DBYOL(pretrain=True, opts=opts)
+        depth = 18
+    elif family == "i3d":
+        tmod = ref_i3d.I3DBYOL(pretrain=True)
+        depth = 1
+    else:
+        tmod = ref_s3d.S3DGBYOL(pretrain=True, gating=True, slow=False)
+        depth = 18
+    x1 = _make_input(shape, seed=6)
+    x2 = _make_input(shape, seed=7)
+    tmod.train()
+    with torch.no_grad():
+        tmod(torch.from_numpy(x1), torch.from_numpy(x2), o_type="loss_com")
+    tmod.eval()
+    with torch.no_grad():
+        tloss, touts = tmod(torch.from_numpy(x1), torch.from_numpy(x2),
+                            o_type="loss_com")
+
+    fmod = CSTPPretrain(backbone=family, depth=depth, dtype=jnp.float32)
+    xj1 = jnp.asarray(np.transpose(x1, (0, 2, 3, 4, 1)))
+    xj2 = jnp.asarray(np.transpose(x2, (0, 2, 3, 4, 1)))
+    variables = _to_mutable(
+        fmod.init(jax.random.PRNGKey(0), xj1, xj2, train=False))
+    converted = convert_torch_state_dict(tmod.state_dict(),
+                                         f"{family}_byol")
+    target = {"params": variables["params"],
+              "batch_stats": variables["batch_stats"]}
+    tree = _merge_by_name(target, converted)
+    loss, outs = fmod.apply(tree, xj1, xj2, train=False)
+
+    np.testing.assert_allclose(float(loss), float(tloss.mean()),
+                               rtol=2e-3, atol=2e-3)
+    for i, (ours, theirs) in enumerate(zip(outs, touts)):
+        np.testing.assert_allclose(
+            np.asarray(ours), theirs.numpy(), rtol=3e-3, atol=3e-3,
+            err_msg=f"{family} head {i}")
