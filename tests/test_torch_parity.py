@@ -815,3 +815,27 @@ def test_full_byol_forward_matches_torch_other_families(
         np.testing.assert_allclose(
             np.asarray(ours), theirs.numpy(), rtol=3e-3, atol=3e-3,
             err_msg=f"{family} head {i}")
+
+
+def test_torch_import_cli_roundtrip(ref_r21d, tmp_path):
+    """`python -m cstp_tpu.models.torch_import save.pth out --arch ...`
+    writes a checkpoint directory our restore path reads back."""
+    from cstp_tpu.ckpt.checkpoint import restore_checkpoint
+    from cstp_tpu.models import torch_import
+
+    tmod = ref_r21d.R21DBYOL(pretrain=True)
+    sd = {"module." + k: v for k, v in tmod.state_dict().items()}
+    pth = tmp_path / "save_300.pth"
+    torch.save({"epoch": 300, "arch": "r21d-1", "state_dict": sd,
+                "optimizer": {}}, str(pth))
+    out = tmp_path / "converted"
+    torch_import.main([str(pth), str(out), "--arch", "r21d_byol"])
+    tree, meta = restore_checkpoint(str(out), None)
+    # the source checkpoint's own arch/epoch are preserved
+    assert meta["arch"] == "r21d-1" and meta["epoch"] == 300
+    w = tree["params"]["online_net"]["conv1"]["spatial_conv"]["kernel"]
+    np.testing.assert_allclose(
+        np.asarray(w),
+        np.transpose(
+            tmod.online_net.conv1.spatial_conv.weight.detach().numpy(),
+            (2, 3, 4, 1, 0)))
