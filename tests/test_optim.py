@@ -153,3 +153,31 @@ def test_adam_and_adamw_match_torch_semantics():
             params = optim.apply_lr(params, upd, lr)
         np.testing.assert_allclose(np.asarray(params["w"]), want, rtol=1e-5,
                                    err_msg=name)
+
+
+def test_sgd_nesterov_matches_torch():
+    """--nesterov: torch's variant (update = grad + m*buf after buf update)."""
+    import torch
+
+    w0 = np.asarray([1.0, -2.0, 3.0], np.float32)
+    lr, mom, wd = 0.1, 0.9, 0.01
+    p = torch.nn.Parameter(torch.tensor(w0))
+    opt = torch.optim.SGD([p], lr=lr, momentum=mom, weight_decay=wd,
+                          nesterov=True)
+    grads = [np.asarray([0.5, -0.1, 0.2], np.float32),
+             np.asarray([-0.3, 0.4, 0.1], np.float32),
+             np.asarray([0.2, 0.2, -0.5], np.float32)]
+    for g in grads:
+        opt.zero_grad()
+        p.grad = torch.tensor(g)
+        opt.step()
+    want = p.detach().numpy()
+
+    params = {"w": jnp.asarray(w0)}
+    tx = optim.make_optimizer("sgd", momentum=mom, weight_decay=wd,
+                              nesterov=True, clip_grad_norm=None)
+    st = tx.init(params)
+    for g in grads:
+        upd, st = tx.update({"w": jnp.asarray(g)}, st, params)
+        params = optim.apply_lr(params, upd, lr)
+    np.testing.assert_allclose(np.asarray(params["w"]), want, rtol=1e-6)
