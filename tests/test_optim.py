@@ -181,3 +181,27 @@ def test_sgd_nesterov_matches_torch():
         upd, st = tx.update({"w": jnp.asarray(g)}, st, params)
         params = optim.apply_lr(params, upd, lr)
     np.testing.assert_allclose(np.asarray(params["w"]), want, rtol=1e-6)
+
+
+def test_plateau_scheduler_matches_torch_trace():
+    """Step-for-step lr trace vs torch ReduceLROnPlateau on a noisy loss
+    sequence (reference main_ft_mp.py:152 uses mode='min', default
+    threshold/cooldown)."""
+    import torch
+
+    losses = [1.0, 0.9, 0.95, 0.94, 0.93, 0.93, 0.93, 0.5, 0.6, 0.6, 0.6,
+              0.6, 0.59, 0.4]
+    patience, factor, lr0 = 2, 0.1, 0.1
+
+    p = torch.nn.Parameter(torch.zeros(1))
+    topt = torch.optim.SGD([p], lr=lr0)
+    tsch = torch.optim.lr_scheduler.ReduceLROnPlateau(
+        topt, "min", patience=patience, factor=factor)
+    twant = []
+    for m in losses:
+        tsch.step(m)
+        twant.append(topt.param_groups[0]["lr"])
+
+    s = optim.ReduceLROnPlateau(lr=lr0, patience=patience, factor=factor)
+    ours = [s.step(m) for m in losses]
+    np.testing.assert_allclose(ours, twant, rtol=1e-9)
