@@ -63,3 +63,29 @@ def test_cross_replica_gather_equals_global(key):
     )
     got = np.asarray(f(zi, zj))
     np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_ntxent_matches_reference_module():
+    """Numeric parity vs the reference's ACTUAL NTXentLoss
+    (loss/NTXent.py:5-62, use_cosine_similarity=True)."""
+    import importlib.util
+    import os
+    import sys
+
+    ref = "/root/reference/loss/NTXent.py"
+    if not os.path.exists(ref):
+        pytest.skip("reference tree not available")
+    torch = pytest.importorskip("torch")
+    spec = importlib.util.spec_from_file_location("ref_ntxent", ref)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["ref_ntxent"] = mod
+    spec.loader.exec_module(mod)
+
+    rng = np.random.default_rng(2)
+    b, d, temp = 6, 16, 0.5
+    zi = rng.normal(0, 1, (b, d)).astype(np.float32)
+    zj = rng.normal(0, 1, (b, d)).astype(np.float32)
+    tloss = mod.NTXentLoss("cpu", b, temp, True)(
+        torch.from_numpy(zi), torch.from_numpy(zj))
+    ours = ntxent_loss(jnp.asarray(zi), jnp.asarray(zj), temperature=temp)
+    np.testing.assert_allclose(float(ours), float(tloss), rtol=1e-5)
