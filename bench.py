@@ -59,8 +59,11 @@ def main():
 
     # persistent compile cache: the fused step takes minutes to compile via
     # the remote-compile tunnel; cache so repeated bench runs pay once.
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # Machine-feature-scoped (utils/cache.py) so a cache written on a
+    # different host misses instead of loading mismatched AOT code.
+    from cstp_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache("/root/repo/.jax_cache")
 
     from cstp_tpu.config import Config
     from cstp_tpu.parallel import create_mesh, shard_batch, shard_state
@@ -158,6 +161,10 @@ def main():
     per_chip = clips_per_sec / n_dev
     step_s = dt / n_steps
 
+    if (args.breakdown or args.cost) and args.mode != "pretrain":
+        log("note: --breakdown/--cost only apply to --mode pretrain "
+            "(the ft step is a single fused program with no augment/train "
+            "split to report); ignoring.")
     if (args.breakdown or args.cost) and args.mode == "pretrain":
         from cstp_tpu.train.pretrain import split_pretrain_step
         aug, train = split_pretrain_step(model, tx, cfg)

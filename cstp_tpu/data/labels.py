@@ -43,16 +43,34 @@ def parse_ucf_list(list_path: str, frame_dir: Optional[str] = None,
 
 
 def parse_kinetics_list(list_path: str) -> List[VideoRecord]:
-    """Kinetics ``path  label  nframes`` (double-space; datasets.py:1283-1289)."""
+    """Kinetics ``path  label  [nframes]`` (double-space; datasets.py:1283-1289).
+
+    The reference's non-nframe lists (``{train,val}_list_label.txt``, read by
+    KINFTOnline/KINFTOnlineDecord at datasets.py:1740/1863) have only two
+    columns; those parse with ``nframes=-1`` and are lazily probed from the
+    container (``video.probe_nframes``) on first use."""
     out = []
     with open(list_path) as f:
         for line in f:
             parts = line.strip().split("  ")
-            if len(parts) < 3:
+            if len(parts) < 2:
                 continue
+            nframes = int(parts[2]) if len(parts) > 2 else -1
             out.append(VideoRecord(parts[0].split(".")[0], int(parts[1]),
-                                   int(parts[2])))
+                                   nframes))
     return out
+
+
+def kinetics_list_path(annotation_path: str, data_type: str) -> str:
+    """Resolve the Kinetics annotation file: prefer the nframe-annotated list
+    (``*_list_label_nframe.txt``, the format the reference's LMDB readers use,
+    datasets.py:1280), falling back to the plain two-column list the
+    video-file readers use (``*_list_label.txt``, datasets.py:1740/1863)."""
+    split = "train" if data_type == "train" else "val"
+    withn = os.path.join(annotation_path, f"{split}_list_label_nframe.txt")
+    if os.path.isfile(withn):
+        return withn
+    return os.path.join(annotation_path, f"{split}_list_label.txt")
 
 
 def train_list_name(split: str) -> str:

@@ -72,16 +72,43 @@ def load_native_lib() -> Optional[ctypes.CDLL]:
     return lib
 
 
+_decode_path_announced = False
+
+
+def _announce_decode_path(native: bool) -> None:
+    """Log ONCE which JPEG decode path is live: the native pool and PIL both
+    wrap libjpeg but their resize filters differ slightly, so inputs are not
+    bitwise identical across hosts with/without the compiled .so. Set
+    ``CSTP_FORCE_PIL_DECODE=1`` to pin the PIL path when bit-reproducible
+    ingest across heterogeneous hosts matters more than decode throughput."""
+    global _decode_path_announced
+    if _decode_path_announced:
+        return
+    _decode_path_announced = True
+    import logging
+
+    logging.getLogger("cstp_tpu.data").info(
+        "JPEG decode path: %s (CSTP_FORCE_PIL_DECODE=1 forces PIL)",
+        "native cstp_decode_blobs pool" if native else "PIL",
+    )
+
+
 def decode_jpeg_blobs(blobs: Sequence[bytes], out_hw: Tuple[int, int],
                       n_threads: int = 4) -> Optional[np.ndarray]:
     """Decode+resize independent JPEG byte blobs -> (n, H, W, 3) u8 via the
     native libjpeg pool (serves the reference-LMDB msgpack'd-JPEG path and
-    frame-dir ingest). Returns None when the native library is unavailable
-    or lacks the entry point (callers fall back to PIL); failed blobs are
-    zero-filled with a warning, matching ``read_clips`` fault semantics."""
+    frame-dir ingest). Returns None when the native library is unavailable,
+    lacks the entry point, or ``CSTP_FORCE_PIL_DECODE=1`` (callers fall back
+    to PIL); failed blobs are zero-filled with a warning, matching
+    ``read_clips`` fault semantics. The active path is logged once."""
+    if os.environ.get("CSTP_FORCE_PIL_DECODE", "") == "1":
+        _announce_decode_path(native=False)
+        return None
     lib = load_native_lib()
     if lib is None or not hasattr(lib, "cstp_decode_blobs"):
+        _announce_decode_path(native=False)
         return None
+    _announce_decode_path(native=True)
     n = len(blobs)
     h, w = out_hw
     out = np.empty((n, h, w, 3), np.uint8)

@@ -27,6 +27,7 @@ import numpy as np
 
 from cstp_tpu.data.labels import (
     VideoRecord,
+    kinetics_list_path,
     parse_kinetics_list,
     parse_ucf_list,
     test_list_name,
@@ -135,16 +136,15 @@ class VideoDataset:
         self.root = video_root
         self.h0, self.w0 = ingest_hw
         if dataset.lower().startswith("kin"):
-            name = f"{'train' if data_type == 'train' else 'val'}_list_label_nframe.txt"
-            self.records: List[VideoRecord] = parse_kinetics_list(
-                os.path.join(annotation_path, name))
+            list_path = kinetics_list_path(annotation_path, data_type)
+            self.records: List[VideoRecord] = parse_kinetics_list(list_path)
         else:
             name = (train_list_name(split) if data_type == "train"
                     else test_list_name(split))
-            self.records = parse_ucf_list(os.path.join(annotation_path, name))
+            list_path = os.path.join(annotation_path, name)
+            self.records = parse_ucf_list(list_path)
         if not self.records:
-            raise FileNotFoundError(
-                f"no videos in {os.path.join(annotation_path, name)}")
+            raise FileNotFoundError(f"no videos in {list_path}")
         self._paths = [_resolve_media(self.root, r.path) for r in self.records]
 
     def num_videos(self) -> int:

@@ -250,7 +250,21 @@ def load_torch_checkpoint(path: str, arch: str) -> Tuple[Dict, Dict]:
     """Load a reference ``save_{E}.pth`` -> (converted_tree, meta)."""
     import torch
 
-    blob = torch.load(path, map_location="cpu", weights_only=False)
+    try:
+        # weights_only=True is a pure tensor/dict unpickler — no arbitrary
+        # code execution. The reference's save_{E}.pth payload (epoch/arch/
+        # state_dict/optimizer tensors, main_byol.py:134-140) loads fine
+        # this way.
+        blob = torch.load(path, map_location="cpu", weights_only=True)
+    except Exception:
+        import warnings
+
+        warnings.warn(
+            f"{path!r} is not loadable with weights_only=True; falling back "
+            "to the full unpickler, which EXECUTES code embedded in the "
+            "checkpoint — only proceed with checkpoints you trust."
+        )
+        blob = torch.load(path, map_location="cpu", weights_only=False)
     sd = blob.get("state_dict", blob) if isinstance(blob, dict) else blob
     meta = {}
     if isinstance(blob, dict):
