@@ -200,7 +200,20 @@ class FinetuneLoader:
                     )
                     frames = np.stack([r[0] for r in results])
                     labels = np.asarray([r[1] for r in results], np.int32)
-                yield {"frames": frames, "labels": labels}
+                mask = np.ones((len(ids),), np.float32)
+                if len(ids) < bs:
+                    # pad-and-mask the tail batch so EVERY video is evaluated
+                    # (the reference evaluates the full val set,
+                    # main_ft_mp.py:247-292) while the jitted eval step keeps
+                    # a single static batch shape; padded rows carry mask 0
+                    # and contribute nothing to the masked metrics.
+                    pad = bs - len(ids)
+                    frames = np.concatenate(
+                        [frames, np.repeat(frames[-1:], pad, axis=0)])
+                    labels = np.concatenate(
+                        [labels, np.repeat(labels[-1:], pad)])
+                    mask = np.concatenate([mask, np.zeros((pad,), np.float32)])
+                yield {"frames": frames, "labels": labels, "mask": mask}
 
 
 def prefetch_to_device(iterator, mesh, depth: int = 2):

@@ -50,11 +50,15 @@ def byol_regression_loss(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
     return 2.0 - 2.0 * jnp.sum(x * y, axis=-1)
 
 
-def cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
-    """Mean softmax cross entropy with integer labels (torch CrossEntropyLoss)."""
+def cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray,
+                  reduce: bool = True) -> jnp.ndarray:
+    """Softmax cross entropy with integer labels (torch CrossEntropyLoss).
+    ``reduce=False`` returns the per-sample (B,) losses (used by the
+    mask-weighted val aggregation)."""
     logits = logits.astype(jnp.float32)
     logp = jax.nn.log_softmax(logits, axis=-1)
-    return -jnp.mean(jnp.take_along_axis(logp, labels[:, None], axis=-1))
+    per = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
+    return jnp.mean(per) if reduce else per
 
 
 def ema_update(target_params, online_params, momentum: float):
@@ -88,6 +92,8 @@ class CSTPPretrain(nn.Module):
     shortcut: str = "B"           # ResNet3D A/B (--resnet_shortcut/--sc_type)
     s2d_stem: bool = False        # s3d space-to-depth stem (--s2d_stem)
     remat: bool = False           # remat residual stages (--remat; r21d only)
+    alpha: int = 4                # slowfast frame-rate ratio (--alpha)
+    fused_conv: bool = False      # Pallas-fused (2+1)D blocks (--fused_conv)
     # True: the two views run through each tower as ONE batched 2B call with
     # BN groups DOUBLED so statistics stay per-view. False: two B-sized calls
     # per tower — the reference's own call pattern (r21d_byol.py:358-372).
@@ -101,15 +107,19 @@ class CSTPPretrain(nn.Module):
         self.spec = spec
         use_proj = spec.proj_dim is not None
         g2 = 2 * self.bn_groups if self.concat_views else self.bn_groups
+        extra = ({"alpha": self.alpha}
+                 if self.backbone.startswith("slowfast") else {})
+        if self.fused_conv and self.backbone.startswith("r21d"):
+            extra["fused_conv"] = True
         self.online_net = make_backbone(
             self.backbone, self.depth, dtype=self.dtype, proj_flag=use_proj,
             bn_groups=g2, shortcut=self.shortcut, s2d_stem=self.s2d_stem,
-            remat=self.remat, name="online_net",
+            remat=self.remat, name="online_net", **extra,
         )
         self.target_net = make_backbone(
             self.backbone, self.depth, dtype=self.dtype, proj_flag=use_proj,
             bn_groups=g2, shortcut=self.shortcut, s2d_stem=self.s2d_stem,
-            remat=self.remat, name="target_net",
+            remat=self.remat, name="target_net", **extra,
         )
         self.predictor = MLPHead(spec.pred_hidden, spec.pred_dim,
                                  dtype=self.dtype, bn_groups=g2, name="predictor")
@@ -211,15 +221,21 @@ class CSTPClassify(nn.Module):
     bn_groups: int = 1
     shortcut: str = "B"
     s2d_stem: bool = False
+    alpha: int = 4                # slowfast frame-rate ratio (--alpha)
+    fused_conv: bool = False      # Pallas-fused (2+1)D blocks (--fused_conv)
 
     def setup(self):
         spec = backbone_spec(self.backbone, self.depth)
         self.spec = spec
+        extra = ({"alpha": self.alpha}
+                 if self.backbone.startswith("slowfast") else {})
+        if self.fused_conv and self.backbone.startswith("r21d"):
+            extra["fused_conv"] = True
         self.online_net = make_backbone(
             self.backbone, self.depth, dtype=self.dtype, proj_flag=False,
             bn_groups=self.bn_groups, shortcut=self.shortcut,
             s2d_stem=self.s2d_stem,
-            name="online_net",
+            name="online_net", **extra,
         )
         if self.head_style == "mlp":
             self.classify = MLPHead(spec.feat_dim, self.num_classes,

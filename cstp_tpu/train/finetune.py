@@ -43,6 +43,8 @@ def create_classify_model(config: Config, num_classes: int) -> CSTPClassify:
         bn_groups=bn_groups_from_config(config),
         shortcut=config.resnet_shortcut,
         s2d_stem=config.s2d_stem,
+        alpha=config.alpha,
+        fused_conv=bool(config.fused_conv),
     )
 
 
@@ -144,7 +146,13 @@ def make_finetune_step(model: CSTPClassify, tx, config: Config):
 
 
 def make_eval_step(model: CSTPClassify, config: Config):
-    """jitted eval step: deterministic scale+center-crop, running stats."""
+    """jitted eval step: deterministic scale+center-crop, running stats.
+
+    Returns mask-weighted SUMS (``loss_sum``/``correct``/``count``) rather
+    than per-batch means: the val loader pads its tail batch to the static
+    batch shape with mask-0 rows, and sum aggregation makes every real video
+    count exactly once (the reference evaluates the full val set,
+    main_ft_mp.py:247-292). A batch without ``mask`` counts every row."""
     sample_size = config.sample_size
     dtype = jnp.dtype(config.compute_dtype)
 
@@ -156,11 +164,20 @@ def make_eval_step(model: CSTPClassify, config: Config):
             {"params": state.params, "batch_stats": state.batch_stats},
             x, train=False,
         )
-        loss = cross_entropy(logits, batch["labels"])
-        acc = jnp.mean(
-            (jnp.argmax(logits, -1) == batch["labels"]).astype(jnp.float32)
-        )
-        return {"loss": loss, "acc": acc, "logits": logits}
+        mask = batch.get("mask")
+        if mask is None:
+            mask = jnp.ones((x.shape[0],), jnp.float32)
+        per_loss = cross_entropy(logits, batch["labels"], reduce=False)
+        hits = (jnp.argmax(logits, -1) == batch["labels"]).astype(jnp.float32)
+        count = jnp.sum(mask)
+        return {
+            "loss_sum": jnp.sum(per_loss * mask),
+            "correct": jnp.sum(hits * mask),
+            "count": count,
+            "loss": jnp.sum(per_loss * mask) / jnp.maximum(count, 1.0),
+            "acc": jnp.sum(hits * mask) / jnp.maximum(count, 1.0),
+            "logits": logits,
+        }
 
     return step
 

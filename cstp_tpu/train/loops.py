@@ -84,6 +84,7 @@ def build_dataset(config: Config, data_type: str):
         return SyntheticVideoDataset(
             n_videos=config.synthetic_len, n_classes=config.n_classes,
             ingest_hw=(128, 171),
+            learnable=bool(config.synthetic_learnable),
         )
     if config.data_backend == "framedir":
         from cstp_tpu.data.framedir import FrameDirDataset
@@ -299,14 +300,16 @@ def run_finetune(config: Config, max_steps_per_epoch: int = 0) -> Dict:
     val_ds = build_dataset(config, "val")
     per_host_batch = config.batch_size // jax.process_count()
     train_loader = FinetuneLoader(
-        train_ds, per_host_batch, config.sample_duration, config.pb_rate,
+        train_ds, per_host_batch, config.sample_duration, config.clip_stride,
         train=True, seed=config.manual_seed, num_workers=config.n_workers,
         process_index=jax.process_index(), process_count=jax.process_count(),
     )
+    # drop_last=False + pad-and-mask tail batch: every val video counts,
+    # like the reference's full-set validation (main_ft_mp.py:247-292)
     val_loader = FinetuneLoader(
-        val_ds, per_host_batch, config.sample_duration, config.pb_rate,
+        val_ds, per_host_batch, config.sample_duration, config.clip_stride,
         train=False, seed=config.manual_seed, num_workers=config.n_workers,
-        drop_last=True,
+        drop_last=False,
         process_index=jax.process_index(), process_count=jax.process_count(),
     )
     rng = jax.random.PRNGKey(config.manual_seed)
@@ -428,8 +431,13 @@ def run_finetune(config: Config, max_steps_per_epoch: int = 0) -> Dict:
         val_ms = jax.device_get(val_ms)
         t_loss = float(np.mean([m["loss"] for m in train_ms])) if train_ms else 0.0
         t_acc = float(np.mean([m["acc"] for m in train_ms])) if train_ms else 0.0
-        v_loss = float(np.mean([m["loss"] for m in val_ms])) if val_ms else 0.0
-        v_acc = float(np.mean([m["acc"] for m in val_ms])) if val_ms else 0.0
+        # sum-form aggregation: padded mask-0 rows contribute nothing and
+        # every real video contributes exactly once
+        v_count = float(np.sum([m["count"] for m in val_ms])) if val_ms else 0.0
+        v_loss = (float(np.sum([m["loss_sum"] for m in val_ms])) / v_count
+                  if v_count else 0.0)
+        v_acc = (float(np.sum([m["correct"] for m in val_ms])) / v_count
+                 if v_count else 0.0)
         # plateau stepped on GLOBAL val loss on every host — fixing the
         # reference rank-0-only LR desync (main_ft_mp.py:291-292)
         plateau.step(v_loss)
@@ -497,7 +505,7 @@ def run_test(config: Config, max_videos: int = 0) -> Dict:
     for i in range(n):
         nframes, label = dataset.video_meta(i)
         windows = sliding_window_indices(nframes, config.sample_duration,
-                                         config.pb_rate)
+                                         config.clip_stride)
         frames = np.stack([dataset.read_frames(i, w) for w in windows])
         # pad to a window-count bucket: one compile per bucket, not per
         # distinct video length

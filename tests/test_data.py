@@ -160,3 +160,44 @@ def test_reference_dataset_class_name_aliases():
     # non-alias names pass through untouched
     c = resolve_dataset_alias(Config(dataset="UCF101", data_backend="packed"))
     assert (c.data_backend, c.dataset) == ("packed", "UCF101")
+
+
+def test_finetune_loader_val_pads_and_masks_tail(ds):
+    """Every val video counts exactly once: the tail batch is padded to the
+    static batch shape with mask-0 rows (reference evaluates the FULL val
+    set, main_ft_mp.py:247-292; round-1 drop_last=True truncated it)."""
+    va = FinetuneLoader(ds, batch_size=5, sample_duration=8, pb_rate=2,
+                        train=False, num_workers=2, drop_last=False)
+    batches = list(va.epoch(0))
+    # 32 videos / bs 5 -> 7 batches, last one padded from 2 real rows
+    assert len(batches) == len(va) == 7
+    for b in batches:
+        assert b["frames"].shape[0] == 5
+        assert b["mask"].shape == (5,)
+    real = sum(float(b["mask"].sum()) for b in batches)
+    assert real == ds.num_videos()
+    tail = batches[-1]
+    np.testing.assert_array_equal(tail["mask"], [1, 1, 0, 0, 0])
+    # padded rows replicate the last real row (any valid clip works; they
+    # are masked out of the metrics)
+    np.testing.assert_array_equal(tail["frames"][2], tail["frames"][1])
+
+
+def test_kinetics_two_column_list_and_fallback(tmp_path):
+    """Reference KINFTOnline/KINFTOnlineDecord read 2-column
+    '{train,val}_list_label.txt' (datasets.py:1740/1863); those must parse
+    (nframes=-1, lazily probed) and be found when no _nframe list exists."""
+    from cstp_tpu.data.labels import kinetics_list_path
+
+    plain = tmp_path / "val_list_label.txt"
+    plain.write_text("val/abseiling/x.mp4  3\nval/archery/y.mp4  5\n")
+    recs = parse_kinetics_list(str(plain))
+    assert len(recs) == 2
+    assert recs[0].label == 3 and recs[0].nframes == -1
+
+    # fallback: no *_nframe file -> the plain list
+    assert kinetics_list_path(str(tmp_path), "val") == str(plain)
+    # preference: the nframe list wins when present
+    withn = tmp_path / "val_list_label_nframe.txt"
+    withn.write_text("val/abseiling/x.mp4  3  250\n")
+    assert kinetics_list_path(str(tmp_path), "val") == str(withn)
