@@ -69,6 +69,13 @@ class Config:
     clip_grad_norm: int = 1
     clip_grad_value: float = 18.0  # reference hard-codes 18 (main_byol.py:89)
     pb_rate: int = 4
+    # SlowFast knobs (reference opts.py:176-184, orphaned flags of the
+    # deleted train_slowfast.py — rebuilt here; docs/SLOWFAST.md):
+    # tau = slow-pathway temporal stride over raw frames; alpha = fast/slow
+    # frame-rate ratio (the loader stride for slowfast models is tau//alpha
+    # and the model subsamples the slow pathway as fast[::alpha]).
+    tau: int = 8
+    alpha: int = 4
     # transform_mode/input_size/output_feat are accepted for reference CLI
     # compatibility but are vestigial THERE too (never read on live paths;
     # orphans of the deleted contrastive-era train.py — SURVEY §2.5)
@@ -127,6 +134,36 @@ class Config:
                                             # launches; ref has no recovery)
     data_backend: str = "framedir"          # framedir | packed | lmdb | video | synthetic
     synthetic_len: int = 256                # synthetic dataset size
+    synthetic_learnable: int = 0            # 1 = class-conditional content
+                                            # (long-horizon learning runs)
+    fused_conv: int = 0                     # Pallas-fused (2+1)D stride-1
+                                            # blocks (ops/pallas/conv21d.py)
+
+    # Bare model names that dispatch to LEGACY contrastive variants in the
+    # reference (models/model.py:41-43 -> models/pace/{r21d,c3d,r3d}.py,
+    # s3d_g.py) — deliberately not rebuilt (PARITY.md "Known deviations").
+    _LEGACY_BARE_NAMES = ("r21d", "c3d", "r3d", "s3d")
+
+    def warn_if_legacy_model_name(self) -> None:
+        """Loud CLI-time warning when a bare legacy name is used: in the
+        reference, bare 'r21d'/'c3d'/'s3d'/'r3d' select the LEGACY pace
+        contrastive variants (models/model.py:41-43), which this framework
+        deliberately does not rebuild. Called from ``parse_opts`` (the
+        migration surface) — programmatic Config construction is this
+        repo's own idiom and stays silent."""
+        if self.model_name in self._LEGACY_BARE_NAMES:
+            import warnings
+
+            warnings.warn(
+                f"--model_name {self.model_name!r}: in the reference this "
+                "bare name selects the LEGACY pace contrastive variant "
+                f"(models/pace/{'s3d_g' if self.model_name == 's3d' else self.model_name}.py), which this framework "
+                "deliberately does not rebuild (see PARITY.md 'Known "
+                f"deviations'). Building the {self.model_name}_byol-family "
+                "model instead; its 10x-scaled BYOL loss is expressible as "
+                "--loss_weight 10 1 1 1 1.",
+                stacklevel=2,
+            )
 
     def finalize(self) -> "Config":
         """Validate and derive fields; returns self for chaining."""
@@ -144,6 +181,16 @@ class Config:
     def arch(self) -> str:
         # reference synthesizes '{model_name}-{model_depth}' (main_byol.py:187)
         return f"{self.model_name}-{self.model_depth}"
+
+    @property
+    def clip_stride(self) -> int:
+        """Finetune/test frame-sampling stride: ``pb_rate`` normally; for
+        slowfast models the FAST pathway's stride ``tau // alpha`` (the
+        slow pathway's stride-tau frames are the model-side subsample
+        fast[::alpha] — models/slowfast.py)."""
+        if self.model_name.startswith("slowfast"):
+            return max(1, self.tau // self.alpha)
+        return self.pb_rate
 
     def to_json(self) -> str:
         return json.dumps(dataclasses.asdict(self), indent=2, default=str)
@@ -200,6 +247,10 @@ def _add_args(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--sync_bn", default=c.sync_bn, type=int)
     parser.add_argument("--clip_grad_norm", default=c.clip_grad_norm, type=int)
     parser.add_argument("--pb_rate", default=c.pb_rate, type=int)
+    parser.add_argument("--tau", default=c.tau, type=int,
+                        help="slowfast: slow-path temporal stride")
+    parser.add_argument("--alpha", default=c.alpha, type=int,
+                        help="slowfast: fast/slow frame-rate ratio")
     parser.add_argument("--transform_mode", default=c.transform_mode, type=str)
     parser.add_argument("--input_size", default=c.input_size, type=int)
     parser.add_argument("--output_feat", default=c.output_feat, type=int)
@@ -215,6 +266,9 @@ def _add_args(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--byol_momentum", default=c.byol_momentum, type=float)
     parser.add_argument("--data_backend", default=c.data_backend, type=str)
     parser.add_argument("--synthetic_len", default=c.synthetic_len, type=int)
+    parser.add_argument("--synthetic_learnable", default=c.synthetic_learnable,
+                        type=int)
+    parser.add_argument("--fused_conv", default=c.fused_conv, type=int)
     parser.add_argument("--ckpt_every_epochs", default=c.ckpt_every_epochs, type=int)
     parser.add_argument("--log_every", default=c.log_every, type=int)
     parser.add_argument("--profile_dir", default=c.profile_dir, type=str)
@@ -243,4 +297,6 @@ def parse_opts(argv: Optional[List[str]] = None) -> Config:
     d["mesh_shape"] = tuple(d["mesh_shape"])
     known = {f.name for f in dataclasses.fields(Config)}
     d = {k: v for k, v in d.items() if k in known}
-    return Config(**d).finalize()
+    cfg = Config(**d).finalize()
+    cfg.warn_if_legacy_model_name()
+    return cfg

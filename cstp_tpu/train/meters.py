@@ -1,79 +1,107 @@
-"""Meters and CSV logging — parity with reference ``utils.py:7-48``."""
+"""Scalar meters and the tab-separated epoch-log writer.
+
+The ON-DISK format is byte-compatible with the reference's csv.writer-based
+epoch logs (``utils.py:26-48``: tab delimiter, CRLF line endings, header row
+only on fresh runs) so downstream log-parsing tooling works across both
+frameworks — the *implementation* here is this repo's own (dataclass meters,
+explicit formatting, context-manager file handling).
+"""
 
 from __future__ import annotations
 
-import csv
 import os
 import time
-from typing import Dict, List
+from dataclasses import dataclass, field
+from typing import Dict, Mapping, Sequence
+
+# csv.writer's default lineterminator, kept for byte-compatibility with
+# reference-produced logs.
+_EOL = "\r\n"
 
 
+@dataclass
 class AverageMeter:
-    """Running value/average (reference utils.py:7-23)."""
+    """Streaming mean over weighted scalar updates."""
 
-    def __init__(self):
-        self.reset()
+    val: float = 0.0
+    sum: float = 0.0
+    count: int = 0
 
-    def reset(self):
-        self.val = 0.0
-        self.avg = 0.0
-        self.sum = 0.0
-        self.count = 0
+    @property
+    def avg(self) -> float:
+        return self.sum / self.count if self.count else 0.0
 
-    def update(self, val: float, n: int = 1):
-        self.val = val
-        self.sum += val * n
+    def reset(self) -> None:
+        self.val, self.sum, self.count = 0.0, 0.0, 0
+
+    def update(self, value: float, n: int = 1) -> None:
+        self.val = value
+        self.sum += value * n
         self.count += n
-        self.avg = self.sum / self.count
+
+
+def _render_row(cells: Sequence) -> str:
+    # csv.writer renders None as the empty string (the reference logs
+    # acc=None every pretrain epoch, main_byol.py:127) — match that.
+    return "\t".join("" if c is None else str(c) for c in cells) + _EOL
 
 
 class Logger:
-    """Tab-separated CSV logger with overlay (fresh) vs append (resume) mode
-    (reference utils.py:26-48)."""
+    """Tab-separated epoch log.
 
-    def __init__(self, path: str, header: List[str], overlay: bool = True):
-        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    ``overlay=True`` truncates and writes the header (fresh run);
+    ``overlay=False`` appends without a header (resume — the mode switch the
+    reference drives from its resume task, utils.py:33-35).
+    """
+
+    def __init__(self, path: str, header: Sequence[str], overlay: bool = True):
+        parent = os.path.dirname(path)
+        if parent:
+            os.makedirs(parent, exist_ok=True)
+        self.header = tuple(header)
+        # newline='' so _EOL passes through untranslated on every platform
+        self._fh = open(path, "w" if overlay else "a", newline="")
         if overlay:
-            self.log_file = open(path, "w")
-            self.logger = csv.writer(self.log_file, delimiter="\t")
-            self.logger.writerow(header)
-        else:
-            self.log_file = open(path, "a")
-            self.logger = csv.writer(self.log_file, delimiter="\t")
-        self.header = header
+            self._fh.write(_render_row(self.header))
 
-    def log(self, values: Dict):
-        row = []
-        for col in self.header:
-            assert col in values, col
-            row.append(values[col])
-        self.logger.writerow(row)
-        self.log_file.flush()
+    def log(self, values: Mapping) -> None:
+        missing = [c for c in self.header if c not in values]
+        if missing:
+            raise KeyError(f"log row missing columns {missing}")
+        self._fh.write(_render_row([values[c] for c in self.header]))
+        self._fh.flush()
 
-    def close(self):
-        self.log_file.close()
+    def close(self) -> None:
+        self._fh.close()
+
+    def __enter__(self) -> "Logger":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
 
 
+@dataclass
 class StepTimer:
-    """batch_time / data_time meters in the reference's print format
-    (main_byol.py:29-32,93-117), plus steps/sec."""
+    """Tracks per-step wall time split into data-wait and total-step parts,
+    surfaced in the reference's ``Time x.xxx (avg)  Data x.xxx (avg)`` print
+    format (main_byol.py:29-32,93-117)."""
 
-    def __init__(self):
-        self.batch_time = AverageMeter()
-        self.data_time = AverageMeter()
-        self._end = time.time()
+    batch_time: AverageMeter = field(default_factory=AverageMeter)
+    data_time: AverageMeter = field(default_factory=AverageMeter)
+    _mark: float = field(default_factory=time.time)
 
-    def data_tick(self):
-        self.data_time.update(time.time() - self._end)
+    def data_tick(self) -> None:
+        self.data_time.update(time.time() - self._mark)
 
-    def batch_tick(self):
+    def batch_tick(self) -> None:
         now = time.time()
-        self.batch_time.update(now - self._end)
-        self._end = now
+        self.batch_time.update(now - self._mark)
+        self._mark = now
 
 
 def calculate_accuracy(logits, targets) -> float:
-    """Top-1 accuracy (reference utils.py:58-66)."""
+    """Batch top-1 accuracy from logits + integer targets."""
     import numpy as np
 
     pred = np.asarray(logits).argmax(axis=-1)

@@ -23,10 +23,13 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "float32")
 # Persistent compile cache: XLA:CPU compiles are minutes-slow on the 1-core
-# CI host; cache across runs so only the first run pays.
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+# CI host; cache across runs so only the first run pays. The directory is
+# scoped by host machine features (utils/cache.py): XLA:CPU AOT entries are
+# host-ISA-specific, and loading another machine's entries silently shifted
+# numerics by ~0.6% in round 1 — a foreign cache now just misses.
+from cstp_tpu.utils.cache import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache("/root/repo/.jax_cache")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

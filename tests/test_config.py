@@ -52,3 +52,23 @@ def test_json_roundtrip():
     assert c2.batch_size == 48 and c2.mesh_shape == (2, 1)
     assert c2.loss_weight == (0.5, 1.0, 1.0, 1.0, 1.0)
     assert c2.arch == c.arch
+
+
+def test_bare_legacy_model_name_warns_on_cli_parse():
+    """Bare --model_name r21d selects the reference's LEGACY pace
+    contrastive variant (models/model.py:41-43), which is deliberately not
+    rebuilt — the CLI must say so loudly (VERDICT r1 #10)."""
+    import warnings
+
+    from cstp_tpu.config import parse_opts
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        parse_opts(["--model_name", "r21d", "--task", "loss_com"])
+    assert any("LEGACY" in str(x.message) for x in w)
+
+    # the _byol spelling (the live reference model) stays silent
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        parse_opts(["--model_name", "r21d_byol", "--task", "loss_com"])
+    assert not any("LEGACY" in str(x.message) for x in w)
