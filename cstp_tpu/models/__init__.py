@@ -174,3 +174,26 @@ register_backbone(
     lambda depth: BackboneSpec(1024, None, 0, 1024, 4096, "linear",
                                n_pb=4, n_rot=4, l2_feat=True),
 )
+
+
+def _slowfast_ctor(depth: int, dtype, proj_flag: bool, **kw):
+    from cstp_tpu.models.slowfast import SLOWFAST_LAYERS, SlowFastNet
+
+    kw.pop("s2d_stem", None)
+    kw.pop("remat", None)
+    if depth not in SLOWFAST_LAYERS:
+        depth = 18
+    return SlowFastNet(depth=depth, dtype=dtype, **kw)
+
+
+def _slowfast_spec(depth: int) -> BackboneSpec:
+    from cstp_tpu.models.slowfast import slowfast_feat_dim
+
+    f = slowfast_feat_dim(depth)
+    return BackboneSpec(f, None, 0, f, 4096, "linear", n_pb=4, n_rot=4)
+
+
+# 'slowfast_fb' is the reference's model_name string (train_slowfast.pyc,
+# docs/SLOWFAST.md); 'slowfast' is the friendly alias.
+register_backbone("slowfast", _slowfast_ctor, _slowfast_spec)
+register_backbone("slowfast_fb", _slowfast_ctor, _slowfast_spec)
