@@ -19,12 +19,23 @@ import numpy as np
 
 
 class SyntheticVideoDataset:
+    """``learnable=False`` (default): labels are random — fine for smoke
+    tests and throughput runs. ``learnable=True``: the spatial frequency and
+    phase velocity are functions of the label, so a classifier genuinely CAN
+    decode the class from content (used by the long-horizon learning-evidence
+    runs, ``perf/long_horizon.py``). The oriented sinusoidal structure also
+    makes every CSTP pretext label learnable: rotation from orientation
+    statistics, playback rate from apparent phase velocity, spatial/temporal
+    overlap from content correspondence between the two views."""
+
     def __init__(self, n_videos: int = 256, n_classes: int = 101,
                  ingest_hw: Tuple[int, int] = (128, 171),
-                 min_frames: int = 40, max_frames: int = 300, seed: int = 0):
+                 min_frames: int = 40, max_frames: int = 300, seed: int = 0,
+                 learnable: bool = False):
         self.n_videos = n_videos
         self.n_classes = n_classes
         self.h0, self.w0 = ingest_hw
+        self.learnable = learnable
         rng = np.random.default_rng(seed)
         self._nframes = rng.integers(min_frames, max_frames + 1, n_videos)
         self._labels = rng.integers(0, n_classes, n_videos)
@@ -41,8 +52,16 @@ class SyntheticVideoDataset:
 
     def read_frames(self, i: int, indices: Sequence[int]) -> np.ndarray:
         ph = self._phase[i]
-        t = np.asarray(indices, np.float32)[:, None, None] * 0.15
-        base = np.sin(6.0 * self._xx[None] + t + ph[0]) * np.cos(
+        if self.learnable:
+            # class-conditional content: x-frequency and phase velocity are
+            # label functions (coprime-ish steps spread classes apart)
+            lab = int(self._labels[i])
+            fx = 4.0 + 1.5 * (lab % 5)
+            vel = 0.10 + 0.05 * ((lab // 5) % 4)
+        else:
+            fx, vel = 6.0, 0.15
+        t = np.asarray(indices, np.float32)[:, None, None] * vel
+        base = np.sin(fx * self._xx[None] + t + ph[0]) * np.cos(
             5.0 * self._yy[None] - 0.5 * t + ph[1]
         )
         frames = np.stack(

@@ -81,6 +81,8 @@ def create_pretrain_model(config: Config) -> CSTPPretrain:
         s2d_stem=config.s2d_stem,
         remat=config.remat,
         concat_views=bool(config.concat_views),
+        alpha=config.alpha,
+        fused_conv=bool(config.fused_conv),
     )
 
 
@@ -205,6 +207,10 @@ def _build_pretrain_programs(model: CSTPPretrain, tx, config: Config):
                          (p_rot1, rot1), (p_rot2, rot2))
         ]
         acc = jnp.mean(jnp.stack(hits).astype(jnp.float32))
+
+        def _acc(*hs):
+            return jnp.mean(jnp.stack(hs).astype(jnp.float32))
+
         metrics = {
             "loss": total,
             "loss_byol": byol,
@@ -213,6 +219,12 @@ def _build_pretrain_programs(model: CSTPPretrain, tx, config: Config):
             "loss_pred_pb": 0.5 * (l_pb1 + l_pb2),
             "loss_pred_rot": 0.5 * (l_rot1 + l_rot2),
             "acc_pretext": acc,
+            # per-head accuracies (long-horizon learning evidence; chance =
+            # 1/n_spa, 1/n_tem, 1/n_pb, 1/n_rot per the family spec)
+            "acc_spa": _acc(hits[0]),
+            "acc_tem": _acc(hits[1]),
+            "acc_pb": _acc(hits[2], hits[3]),
+            "acc_rot": _acc(hits[4], hits[5]),
         }
         return total, (metrics, mutated["batch_stats"])
 

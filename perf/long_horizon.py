@@ -1,0 +1,228 @@
+"""Long-horizon learning evidence (VERDICT r1 #2).
+
+Round 1's numeric evidence was all <= 4 optimizer steps. This script runs the
+REAL recipe shape end-to-end on hardware and records that the system actually
+LEARNS:
+
+  stage 1 — pretrain: >= 500 fused steps (bf16, on-device CSTP augmentation,
+            BYOL + 4 pretext heads) on the learnable synthetic dataset;
+            asserts every pretext head's accuracy climbs well above chance
+            (spa/tem 0.2, pb 0.25, rot 0.25) and the BYOL loss trends down.
+  stage 2 — finetune: `run_finetune` (ft_all) from the stage-1 checkpoint on
+            class-conditional synthetic videos.
+  stage 3 — test: sliding-window video-level eval (`run_test`); asserts
+            top-1 beats chance by a wide margin.
+
+Writes docs/LEARNING.md (curves + verdicts) and results/long_horizon.json.
+
+Run on the TPU (default env):   python perf/long_horizon.py
+Smoke on CPU:                   JAX_PLATFORMS=cpu python perf/long_horizon.py \
+                                    --steps 20 --sample_size 32 --batch 8
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=600)
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--sample_duration", type=int, default=16)
+    ap.add_argument("--sample_size", type=int, default=112)
+    ap.add_argument("--n_classes", type=int, default=10)
+    ap.add_argument("--ft_epochs", type=int, default=8)
+    ap.add_argument("--out_dir", default="results/long_horizon")
+    ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--report", default="docs/LEARNING.md")
+    args = ap.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cstp_tpu.ckpt import checkpoint as ckpt_lib
+    from cstp_tpu.config import Config
+    from cstp_tpu.data.loader import PretrainLoader
+    from cstp_tpu.data.synthetic import SyntheticVideoDataset
+    from cstp_tpu.train.loops import run_finetune, run_test
+    from cstp_tpu.train.pretrain import create_pretrain_state, make_pretrain_step
+    from cstp_tpu.utils import profiling
+    from cstp_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+    profiling.apply_tpu_tuning()
+    os.makedirs(args.out_dir, exist_ok=True)
+
+    cfg = Config(
+        model_name="r21d", model_depth=1,
+        sample_duration=args.sample_duration, sample_size=args.sample_size,
+        batch_size=args.batch, learning_rate=0.03, compute_dtype=args.dtype,
+        n_classes=args.n_classes, data_backend="synthetic",
+        synthetic_len=256, synthetic_learnable=1,
+        loss_weight=(0.1, 1.0, 1.0, 1.0, 1.0),
+    ).finalize()
+
+    # ---- stage 1: pretrain ------------------------------------------------
+    ds = SyntheticVideoDataset(n_videos=256, n_classes=args.n_classes,
+                               learnable=True)
+    loader = PretrainLoader(ds, cfg.batch_size, cfg.sample_duration,
+                            num_workers=4)
+    model, state, tx = create_pretrain_state(cfg, jax.random.PRNGKey(0))
+    step = make_pretrain_step(model, tx, cfg)
+    lr = jnp.asarray(cfg.learning_rate, jnp.float32)
+    key = jax.random.PRNGKey(7)
+
+    # pre-generate a rotating pool of host batches (sin-pattern generation on
+    # this 1-core host is slower than the TPU step; the on-device augmentation
+    # draws fresh crops/jitter per step so reuse is data echoing, not
+    # repetition — PERF.md host-ingest section)
+    pool = []
+    it = loader.epoch(0)
+    for _ in range(8):
+        pool.append(next(it))
+
+    hist = []
+    t0 = time.time()
+    for i in range(args.steps):
+        key, sub = jax.random.split(key)
+        state, metrics = step(state, sub, pool[i % len(pool)], lr)
+        if (i + 1) % 25 == 0 or i == 0:
+            m = {k: float(v) for k, v in jax.device_get(metrics).items()}
+            m["step"] = i + 1
+            hist.append(m)
+            print(f"[{i + 1:4d}/{args.steps}] loss={m['loss']:.4f} "
+                  f"byol={m['loss_byol']:.4f} "
+                  f"spa={m['acc_spa']:.3f} tem={m['acc_tem']:.3f} "
+                  f"pb={m['acc_pb']:.3f} rot={m['acc_rot']:.3f}",
+                  flush=True)
+    wall = time.time() - t0
+    print(f"pretrain: {args.steps} steps in {wall:.1f}s "
+          f"({args.steps * args.batch / wall:.1f} clips/s)")
+
+    ckpt_path = os.path.join(args.out_dir, "save_1")
+    ckpt_lib.save_checkpoint(
+        ckpt_path,
+        {"params": jax.device_get(state.params),
+         "batch_stats": jax.device_get(state.batch_stats),
+         "opt_state": jax.device_get(state.opt_state),
+         "step": int(state.step)},
+        meta={"arch": cfg.arch, "epoch": 2},
+    )
+
+    # learning verdicts (chance: spa/tem 1/5, pb 1/4 [pace caps at 4 labels
+    # but distribution is nframes-limited], rot 1/4)
+    tail = hist[-3:]
+    avg = {k: float(np.mean([h[k] for h in tail]))
+           for k in ("acc_spa", "acc_tem", "acc_pb", "acc_rot",
+                     "loss_byol", "loss")}
+    head_start = hist[0]
+    verdicts = {
+        "spa_above_chance": avg["acc_spa"] > 0.35,
+        "tem_above_chance": avg["acc_tem"] > 0.35,
+        "pb_above_chance": avg["acc_pb"] > 0.40,
+        "rot_above_chance": avg["acc_rot"] > 0.40,
+        "byol_decreasing": avg["loss_byol"] < head_start["loss_byol"] * 0.8,
+        "loss_decreasing": avg["loss"] < head_start["loss"] * 0.8,
+    }
+    print("verdicts:", verdicts)
+
+    # ---- stage 2+3: finetune from the checkpoint, then video-level test ---
+    import dataclasses
+
+    ft_cfg = dataclasses.replace(
+        cfg, task="ft_all", pretrained_path=ckpt_path,
+        n_finetune_classes=args.n_classes, learning_rate=0.02,
+        n_epochs=args.ft_epochs, pb_rate=2,
+        result_path=os.path.join(args.out_dir, "ft"),
+        steps_per_epoch=6,
+    ).finalize()
+    ft = run_finetune(ft_cfg)
+    best_acc = ft["best"]["acc"]
+    print(f"finetune best val acc: {best_acc:.3f}")
+
+    test_cfg = dataclasses.replace(
+        ft_cfg, task="test", t_ft_task="ft_all",
+    ).finalize()
+    test = run_test(test_cfg, max_videos=64)
+    top1 = test["accuracy"]
+    chance = 1.0 / args.n_classes
+    verdicts["finetune_val_above_chance"] = best_acc > 2 * chance
+    verdicts["test_top1_above_chance"] = top1 > 2 * chance
+    print(f"video-level top-1: {top1:.3f} (chance {chance:.3f})")
+
+    out = {
+        "config": {"steps": args.steps, "batch": args.batch,
+                   "clip": f"{args.sample_duration}x{args.sample_size}^2",
+                   "dtype": args.dtype,
+                   "device": str(jax.devices()[0])},
+        "pretrain_history": hist,
+        "pretrain_wall_s": wall,
+        "finetune_best_val_acc": best_acc,
+        "test_top1": top1,
+        "chance": chance,
+        "verdicts": verdicts,
+    }
+    os.makedirs("results", exist_ok=True)
+    with open("results/long_horizon.json", "w") as f:
+        json.dump(out, f, indent=2)
+
+    # ---- report -----------------------------------------------------------
+    lines = [
+        "# Long-horizon learning evidence",
+        "",
+        f"Machine-run artifact (`perf/long_horizon.py`, "
+        f"{args.steps} pretrain steps, batch {args.batch}, "
+        f"{args.sample_duration}x{args.sample_size}^2, {args.dtype}, "
+        f"device `{jax.devices()[0]}`). Raw data: "
+        "`results/long_horizon.json`.",
+        "",
+        "Round-1 verdict asked for >= 500-step evidence that the pretext "
+        "heads learn (accuracy above chance), BYOL is stable in bf16, and a "
+        "finetune -> test chain off the checkpoint beats chance "
+        "(VERDICT r1 #2). Dataset: class-conditional synthetic videos "
+        "(`SyntheticVideoDataset(learnable=True)`) — rotation/playback/"
+        "overlap labels are constructible by design.",
+        "",
+        "## Pretrain curves (every 25 steps)",
+        "",
+        "| step | loss | byol | acc_spa | acc_tem | acc_pb | acc_rot |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    for h in hist:
+        lines.append(
+            f"| {h['step']} | {h['loss']:.3f} | {h['loss_byol']:.3f} | "
+            f"{h['acc_spa']:.3f} | {h['acc_tem']:.3f} | {h['acc_pb']:.3f} | "
+            f"{h['acc_rot']:.3f} |")
+    lines += [
+        "",
+        "Chance levels: spa/tem 0.20, pb ~0.25-0.33 (nframes-limited label "
+        "range), rot 0.25.",
+        "",
+        "## Transfer chain",
+        "",
+        f"* finetune (ft_all, {args.ft_epochs} epochs) best val top-1: "
+        f"**{best_acc:.3f}**",
+        f"* video-level test top-1 (sliding windows, mean logits): "
+        f"**{top1:.3f}** vs chance {chance:.3f}",
+        "",
+        "## Verdicts",
+        "",
+    ]
+    for k, v in verdicts.items():
+        lines.append(f"* {'PASS' if v else 'FAIL'} — {k}")
+    with open(args.report, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(f"wrote {args.report}")
+    return 0 if all(verdicts.values()) else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
