@@ -161,6 +161,10 @@ class Conv3d(nn.Module):
     padding: Tuple[int, int, int] = (0, 0, 0)
     use_bias: bool = False
     dtype: Dtype = jnp.bfloat16
+    # declare-and-return the kernel param WITHOUT building the convolution —
+    # used by the Pallas-fused (2+1)D path to keep parameter paths identical
+    # to the unfused modules (checkpoint interchange)
+    param_only: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -172,6 +176,8 @@ class Conv3d(nn.Module):
             "kernel", glorot_conv_init(),
             (kt, kh, kw, in_ch, self.features), jnp.float32,
         )
+        if self.param_only:
+            return kernel
         bias = (self.param("bias", nn.initializers.zeros,
                            (self.features,), jnp.float32)
                 if self.use_bias else None)
@@ -250,6 +256,37 @@ class SpatialS2DConv(nn.Module):
         )
 
 
+class _BNParamsInner(nn.Module):
+    """Declares the same parameter/variable names as ``nn.BatchNorm`` /
+    ``_GroupedBN`` (scale/bias + batch_stats mean/var) without computing —
+    the Pallas-fused path owns the normalization math."""
+
+    c: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", bn_glorot_scale_init, (self.c,),
+                           jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.c,),
+                          jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((self.c,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((self.c,), jnp.float32))
+        return scale, bias, ra_mean, ra_var
+
+
+class _BNParams(nn.Module):
+    """Path shim: BatchNorm nests its body under 'bn', so fused params live
+    at <parent>/bn/bn/{scale,bias} exactly like the unfused modules."""
+
+    c: int
+
+    @nn.compact
+    def __call__(self):
+        return _BNParamsInner(self.c, name="bn")()
+
+
 class SpatioTemporalConv(nn.Module):
     """Factorized (2+1)D conv: spatial (1,k,k) conv -> BN -> ReLU ->
     temporal (k,1,1) conv (reference r21d_byol.py:38-97).
@@ -259,6 +296,12 @@ class SpatioTemporalConv(nn.Module):
 
     ``s2d``: compute the spatial conv via the exact space-to-depth rewrite
     (stride-2 stems only; see SpatialS2DConv).
+
+    ``fused``: run the whole train-mode chain as the Pallas fused kernel
+    (ops/pallas/conv21d.py) so the wide mid tensor never reaches HBM.
+    Applies to stride-1 3x3x3 blocks (the hot layer1 shapes); other shapes
+    and eval mode fall through to the unfused path. Parameter paths are
+    identical, so checkpoints interchange freely.
     """
 
     features: int
@@ -268,6 +311,7 @@ class SpatioTemporalConv(nn.Module):
     dtype: Dtype = jnp.bfloat16
     bn_groups: int = 1
     s2d: bool = False
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -276,6 +320,26 @@ class SpatioTemporalConv(nn.Module):
         pt, ph, pw = self.padding
         in_ch = x.shape[-1]
         mid = r21d_intermediate_channels(in_ch, self.features, self.kernel)
+        if (self.fused and train and self.stride == (1, 1, 1)
+                and (kt, pt) == (3, 1) and (ph, pw) == (kh // 2, kw // 2)):
+            from cstp_tpu.ops.pallas.conv21d import fused_st_conv
+
+            ws = Conv3d(mid, (1, kh, kw), (1, 1, 1), (0, ph, pw),
+                        dtype=self.dtype, name="spatial_conv",
+                        param_only=True)(x)
+            scale, bias, ra_mean, ra_var = _BNParams(mid, name="bn")()
+            wt = Conv3d(self.features, (kt, 1, 1), (1, 1, 1), (pt, 0, 0),
+                        dtype=self.dtype, name="temporal_conv",
+                        param_only=True)(jnp.zeros((1, 1, 1, 1, mid),
+                                                   x.dtype))
+            out, gmean, gvar = fused_st_conv(
+                x, ws[0], wt[:, 0, 0], scale, bias, self.bn_groups)
+            if not self.is_initializing():
+                ra_mean.value = (0.9 * ra_mean.value
+                                 + 0.1 * jnp.mean(gmean, axis=0))
+                ra_var.value = (0.9 * ra_var.value
+                                + 0.1 * jnp.mean(gvar, axis=0))
+            return out
         if self.s2d and (sh, sw) == (2, 2) and kh == kw:
             x = SpatialS2DConv(mid, kernel_hw=kh, pad=ph,
                                dtype=self.dtype, name="spatial_conv")(x)

@@ -35,19 +35,22 @@ class SpatioTemporalResBlock(nn.Module):
     downsample: bool = False
     dtype: Any = jnp.bfloat16
     bn_groups: int = 1
+    fused_conv: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         stride = (2, 2, 2) if self.downsample else (1, 1, 1)
         res = SpatioTemporalConv(
             self.features, (3, 3, 3), stride, (1, 1, 1),
-            dtype=self.dtype, bn_groups=self.bn_groups, name="conv1",
+            dtype=self.dtype, bn_groups=self.bn_groups,
+            fused=self.fused_conv, name="conv1",
         )(x, train)
         res = BatchNorm(dtype=self.dtype, groups=self.bn_groups, name="bn1")(res, not train)
         res = nn.relu(res).astype(self.dtype)
         res = SpatioTemporalConv(
             self.features, (3, 3, 3), (1, 1, 1), (1, 1, 1),
-            dtype=self.dtype, bn_groups=self.bn_groups, name="conv2",
+            dtype=self.dtype, bn_groups=self.bn_groups,
+            fused=self.fused_conv, name="conv2",
         )(res, train)
         res = BatchNorm(dtype=self.dtype, groups=self.bn_groups, name="bn2")(res, not train)
 
@@ -72,17 +75,20 @@ class SpatioTemporalResLayer(nn.Module):
     downsample: bool = False
     dtype: Any = jnp.bfloat16
     bn_groups: int = 1
+    fused_conv: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         x = SpatioTemporalResBlock(
             self.features, self.downsample, dtype=self.dtype,
-            bn_groups=self.bn_groups, name="block1"
+            bn_groups=self.bn_groups, fused_conv=self.fused_conv,
+            name="block1"
         )(x, train)
         for i in range(self.layer_size - 1):
             x = SpatioTemporalResBlock(
                 self.features, False, dtype=self.dtype,
-                bn_groups=self.bn_groups, name=f"block{i + 2}"
+                bn_groups=self.bn_groups, fused_conv=self.fused_conv,
+                name=f"block{i + 2}"
             )(x, train)
         return x
 
@@ -103,6 +109,9 @@ class R2Plus1DNet(nn.Module):
     # exact space-to-depth stem (--s2d_stem): same parameters/numerics,
     # denser MXU contraction in the stride-2 stem conv (layers.SpatialS2DConv)
     s2d_stem: bool = False
+    # Pallas-fused spatial->BN->ReLU->temporal chain for the stride-1 blocks
+    # (--fused_conv; ops/pallas/conv21d.py)
+    fused_conv: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -118,19 +127,23 @@ class R2Plus1DNet(nn.Module):
                  if self.remat else SpatioTemporalResLayer)
         x = Layer(
             64, self.layer_sizes[0], False, dtype=self.dtype,
-            bn_groups=self.bn_groups, name="conv2"
+            bn_groups=self.bn_groups, fused_conv=self.fused_conv,
+            name="conv2"
         )(x, train)
         x = Layer(
             128, self.layer_sizes[1], True, dtype=self.dtype,
-            bn_groups=self.bn_groups, name="conv3"
+            bn_groups=self.bn_groups, fused_conv=self.fused_conv,
+            name="conv3"
         )(x, train)
         x = Layer(
             256, self.layer_sizes[2], True, dtype=self.dtype,
-            bn_groups=self.bn_groups, name="conv4"
+            bn_groups=self.bn_groups, fused_conv=self.fused_conv,
+            name="conv4"
         )(x, train)
         x = Layer(
             512, self.layer_sizes[3], True, dtype=self.dtype,
-            bn_groups=self.bn_groups, name="conv5"
+            bn_groups=self.bn_groups, fused_conv=self.fused_conv,
+            name="conv5"
         )(x, train)
         # global average pool over (T, H, W) -> (B, 512), f32 like the torch
         # AdaptiveAvgPool3d output feeding f32 heads
