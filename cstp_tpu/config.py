@@ -89,6 +89,8 @@ class Config:
     lmdb_path: str = ""
     steps_per_epoch: int = 0       # 0 = derive from dataset length
     cls_bn: bool = True
+    legacy_pace: int = 0           # bare 'r21d' ft: CE over the 512-d pace
+    # Projector output, the reference's live dispatch (models/model.py:41-43)
 
     # ---- TPU-native knobs (no reference equivalent) ----
     mesh_shape: Tuple[int, ...] = (-1, 1)   # (data, model); -1 = all remaining
@@ -118,6 +120,8 @@ class Config:
                                             # arXiv:2307.13813) — e.g. 128 =
                                             # the reference Kinetics batch
     remat: bool = False                     # rematerialize residual stages
+    remat_policy: str = ""                  # '' | 'bnrelu' selective remat:
+    # recompute only tagged BN/ReLU activations in backward (r21d)
                                             # (activation HBM -> recompute;
                                             # enables larger per-chip batch)
     concat_views: int = 1                   # 1: towers run both views as one
@@ -158,10 +162,13 @@ class Config:
                 f"--model_name {self.model_name!r}: in the reference this "
                 "bare name selects the LEGACY pace contrastive variant "
                 f"(models/pace/{'s3d_g' if self.model_name == 's3d' else self.model_name}.py), which this framework "
-                "deliberately does not rebuild (see PARITY.md 'Known "
-                f"deviations'). Building the {self.model_name}_byol-family "
-                "model instead; its 10x-scaled BYOL loss is expressible as "
-                "--loss_weight 10 1 1 1 1.",
+                "deliberately does not rebuild by default (see PARITY.md "
+                f"'Known deviations'). Building the {self.model_name}_byol-"
+                "family model instead; its 10x-scaled BYOL loss is "
+                "expressible as --loss_weight 10 1 1 1 1. The reference's "
+                "live bare-'r21d' finetune behavior (CE over a 512-d "
+                "Projector output, models/model.py:41-43) is available with "
+                "--legacy_pace 1.",
                 stacklevel=2,
             )
 
@@ -235,6 +242,8 @@ def _add_args(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--nesterov", action="store_true")
     parser.add_argument("--double_bias_lr", action="store_true")
     parser.add_argument("--remat", action="store_true")
+    parser.add_argument("--remat_policy", default=c.remat_policy,
+                        choices=["", "bnrelu"])
     parser.add_argument("--concat_views", default=c.concat_views, type=int)
     parser.add_argument("--optimizer", default=c.optimizer, type=str)
     parser.add_argument("--lr_patience", default=c.lr_patience, type=int)
@@ -269,6 +278,7 @@ def _add_args(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--synthetic_learnable", default=c.synthetic_learnable,
                         type=int)
     parser.add_argument("--fused_conv", default=c.fused_conv, type=int)
+    parser.add_argument("--legacy_pace", default=c.legacy_pace, type=int)
     parser.add_argument("--ckpt_every_epochs", default=c.ckpt_every_epochs, type=int)
     parser.add_argument("--log_every", default=c.log_every, type=int)
     parser.add_argument("--profile_dir", default=c.profile_dir, type=str)

@@ -47,6 +47,19 @@ def glorot_conv_init():
     return nn.initializers.glorot_uniform()
 
 
+def tag_bnrelu(x):
+    """``checkpoint_name`` tag on BN/ReLU outputs, consumed by the 'bnrelu'
+    selective-remat policy (``--remat_policy bnrelu``): under
+    ``save_anything_except_these_names('bnrelu')`` the backward pass keeps
+    every conv output as a residual but RECOMPUTES these cheap elementwise
+    tensors from it — the wide post-BN / post-ReLU activations (144/230/288
+    mid channels, lane-padded in HBM) are never saved. A no-op identity when
+    no remat policy is active."""
+    from jax.ad_checkpoint import checkpoint_name
+
+    return checkpoint_name(x, "bnrelu")
+
+
 class BatchNorm(nn.Module):
     """BatchNorm with torch semantics (momentum 0.1 torch == 0.9 flax,
     eps 1e-5) and the reference's glorot-uniform scale init.
@@ -86,10 +99,10 @@ class BatchNorm(nn.Module):
                 scale_init=bn_glorot_scale_init,
                 bias_init=nn.initializers.zeros,
                 name="bn",
-            )(x.astype(jnp.float32))
-            return y.astype(out_dtype)
+            )(tag_bnrelu(x.astype(jnp.float32)))
+            return tag_bnrelu(tag_bnrelu(y).astype(out_dtype))
         y = _GroupedBN(groups=self.groups, name="bn")(x, ura)
-        return y.astype(out_dtype)
+        return tag_bnrelu(y.astype(out_dtype))
 
 
 class _GroupedBN(nn.Module):
@@ -108,7 +121,7 @@ class _GroupedBN(nn.Module):
                                 lambda: jnp.zeros((c,), jnp.float32))
         ra_var = self.variable("batch_stats", "var",
                                lambda: jnp.ones((c,), jnp.float32))
-        xf = x.astype(jnp.float32)
+        xf = tag_bnrelu(x.astype(jnp.float32))
         if use_running_average:
             return ((xf - ra_mean.value)
                     * jax.lax.rsqrt(ra_var.value + 1e-5) * scale + bias)
@@ -134,9 +147,9 @@ class _GroupedBN(nn.Module):
         mean_b = jnp.repeat(gmean, b // g, axis=0)           # (B, C)
         var_b = jnp.repeat(gvar, b // g, axis=0)
         bshape = (b,) + (1,) * (xf.ndim - 2) + (c,)
-        y = (xf - mean_b.reshape(bshape)) * jax.lax.rsqrt(
-            var_b.reshape(bshape) + 1e-5)
-        y = y * scale + bias
+        y = tag_bnrelu((xf - mean_b.reshape(bshape)) * jax.lax.rsqrt(
+            var_b.reshape(bshape) + 1e-5))
+        y = tag_bnrelu(y * scale + bias)
         if not self.is_initializing():
             ra_mean.value = 0.9 * ra_mean.value + 0.1 * jnp.mean(gmean, 0)
             ra_var.value = 0.9 * ra_var.value + 0.1 * jnp.mean(gvar, 0)
@@ -347,7 +360,7 @@ class SpatioTemporalConv(nn.Module):
             x = Conv3d(mid, (1, kh, kw), (1, sh, sw), (0, ph, pw),
                        dtype=self.dtype, name="spatial_conv")(x)
         x = BatchNorm(dtype=self.dtype, groups=self.bn_groups, name="bn")(x, not train)
-        x = nn.relu(x).astype(self.dtype)
+        x = tag_bnrelu(nn.relu(x).astype(self.dtype))
         x = Conv3d(self.features, (kt, 1, 1), (st, 1, 1), (pt, 0, 0),
                    dtype=self.dtype, name="temporal_conv")(x)
         return x

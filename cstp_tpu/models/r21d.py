@@ -22,6 +22,7 @@ from cstp_tpu.models.layers import (
     BatchNorm,
     MLPHead,
     SpatioTemporalConv,
+    tag_bnrelu,
 )
 
 LAYER_SIZES = {1: (1, 1, 1, 1), 10: (1, 1, 1, 1), 18: (2, 2, 2, 2), 34: (3, 4, 6, 3)}
@@ -46,7 +47,7 @@ class SpatioTemporalResBlock(nn.Module):
             fused=self.fused_conv, name="conv1",
         )(x, train)
         res = BatchNorm(dtype=self.dtype, groups=self.bn_groups, name="bn1")(res, not train)
-        res = nn.relu(res).astype(self.dtype)
+        res = tag_bnrelu(nn.relu(res).astype(self.dtype))
         res = SpatioTemporalConv(
             self.features, (3, 3, 3), (1, 1, 1), (1, 1, 1),
             dtype=self.dtype, bn_groups=self.bn_groups,
@@ -61,8 +62,10 @@ class SpatioTemporalResBlock(nn.Module):
             )(x, train)
             x = BatchNorm(dtype=self.dtype, groups=self.bn_groups, name="downsamplebn")(x, not train)
 
-        return nn.relu(x.astype(jnp.float32) + res.astype(jnp.float32)).astype(
-            self.dtype
+        return tag_bnrelu(
+            tag_bnrelu(
+                nn.relu(x.astype(jnp.float32) + res.astype(jnp.float32))
+            ).astype(self.dtype)
         )
 
 
@@ -106,6 +109,11 @@ class R2Plus1DNet(nn.Module):
     # (PERF.md: b>=96 OOMs at compile without it). Off by default — the
     # train program is bandwidth-bound and remat adds traffic.
     remat: bool = False
+    # selective remat: '' (off) | 'bnrelu' — keep every conv output as a
+    # residual but recompute the tagged wide BN/ReLU activations in backward
+    # (layers.tag_bnrelu); cuts saved-activation HBM traffic without the
+    # full-remat conv recompute that measured -13% (PERF.md round 3)
+    remat_policy: str = ""
     # exact space-to-depth stem (--s2d_stem): same parameters/numerics,
     # denser MXU contraction in the stride-2 stem conv (layers.SpatialS2DConv)
     s2d_stem: bool = False
@@ -123,8 +131,18 @@ class R2Plus1DNet(nn.Module):
         )(x, train)
         x = BatchNorm(dtype=self.dtype, groups=self.bn_groups, name="bn1")(x, not train)
         x = nn.relu(x).astype(self.dtype)
-        Layer = (nn.remat(SpatioTemporalResLayer, static_argnums=(2,))
-                 if self.remat else SpatioTemporalResLayer)
+        if self.remat:
+            Layer = nn.remat(SpatioTemporalResLayer, static_argnums=(2,))
+        elif self.remat_policy == "bnrelu":
+            import jax
+
+            Layer = nn.remat(
+                SpatioTemporalResLayer, static_argnums=(2,),
+                policy=jax.checkpoint_policies
+                .save_anything_except_these_names("bnrelu"),
+            )
+        else:
+            Layer = SpatioTemporalResLayer
         x = Layer(
             64, self.layer_sizes[0], False, dtype=self.dtype,
             bn_groups=self.bn_groups, fused_conv=self.fused_conv,

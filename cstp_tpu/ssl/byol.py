@@ -92,6 +92,7 @@ class CSTPPretrain(nn.Module):
     shortcut: str = "B"           # ResNet3D A/B (--resnet_shortcut/--sc_type)
     s2d_stem: bool = False        # s3d space-to-depth stem (--s2d_stem)
     remat: bool = False           # remat residual stages (--remat; r21d only)
+    remat_policy: str = ""        # 'bnrelu' selective remat (--remat_policy)
     alpha: int = 4                # slowfast frame-rate ratio (--alpha)
     fused_conv: bool = False      # Pallas-fused (2+1)D blocks (--fused_conv)
     # True: the two views run through each tower as ONE batched 2B call with
@@ -111,6 +112,8 @@ class CSTPPretrain(nn.Module):
                  if self.backbone.startswith("slowfast") else {})
         if self.fused_conv and self.backbone.startswith("r21d"):
             extra["fused_conv"] = True
+        if self.remat_policy and self.backbone.startswith("r21d"):
+            extra["remat_policy"] = self.remat_policy
         self.online_net = make_backbone(
             self.backbone, self.depth, dtype=self.dtype, proj_flag=use_proj,
             bn_groups=g2, shortcut=self.shortcut, s2d_stem=self.s2d_stem,
@@ -210,6 +213,13 @@ class CSTPClassify(nn.Module):
       * 'mlp' — the standalone S3DClassify head: Linear -> BN -> ReLU ->
         Linear on raw features, no L2-norm (coclr/s3dg.py:279-335,
         model_name 's3d_classify' at models/model.py:50-53).
+      * 'pace_project' — the LEGACY pace model reachable as bare
+        ``--model_name r21d`` (models/model.py:41-43 ->
+        pace/r21d.py R2Plus1DNet(linear_flag='project')): a 512-d Projector
+        (Linear -> BN -> ReLU -> Linear -> BN -> ReLU, pace/r21d.py:243-257)
+        whose OUTPUT is fed to cross-entropy as if it were logits — the
+        reference's degenerate-but-live behavior, rebuilt faithfully behind
+        ``--legacy_pace`` (num_classes must be <= 512).
     """
 
     backbone: str = "r21d"
@@ -242,6 +252,12 @@ class CSTPClassify(nn.Module):
                                     dtype=self.dtype,
                                     bn_groups=self.bn_groups, name="classify")
             return
+        if self.head_style == "pace_project":
+            self.classify = MLPHead(4096, 512, dtype=self.dtype,
+                                    bn_groups=self.bn_groups, name="classify")
+            self.pace_bn = BatchNorm(dtype=self.dtype, groups=self.bn_groups,
+                                     name="pace_bn")
+            return
         if self.cls_bn:
             self.cls_bn_mod = BatchNorm(dtype=self.dtype,
                                         groups=self.bn_groups, name="cls_bn")
@@ -258,6 +274,9 @@ class CSTPClassify(nn.Module):
         feat, _ = _feat_and_proj(self.online_net(x, train), self.spec)
         if self.head_style == "mlp":
             return self.classify(feat, train).astype(jnp.float32)
+        if self.head_style == "pace_project":
+            p = self.classify(feat, train)
+            return nn.relu(self.pace_bn(p, not train)).astype(jnp.float32)
         feat = l2_normalize(feat)
         if self.cls_bn:
             feat = self.cls_bn_mod(feat, not train)

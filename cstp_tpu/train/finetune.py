@@ -33,6 +33,12 @@ def create_classify_model(config: Config, num_classes: int) -> CSTPClassify:
     # selects the standalone MLP classifier head instead of the BYOL-family
     # l2norm->BN->linear finetune head.
     head_style = "mlp" if config.model_name.endswith("_classify") else "linear"
+    if config.legacy_pace and config.model_name == "r21d":
+        # reference live dispatch of the bare name: pace R2Plus1DNet with
+        # linear_flag='project' — CE over the 512-d Projector output
+        # (models/model.py:41-43; pace/r21d.py:195-216)
+        assert num_classes <= 512, "--legacy_pace head is fixed at 512 outputs"
+        head_style = "pace_project"
     return CSTPClassify(
         backbone=config.model_name,
         depth=config.model_depth,

@@ -80,6 +80,7 @@ def create_pretrain_model(config: Config) -> CSTPPretrain:
         shortcut=config.resnet_shortcut,
         s2d_stem=config.s2d_stem,
         remat=config.remat,
+        remat_policy=config.remat_policy,
         concat_views=bool(config.concat_views),
         alpha=config.alpha,
         fused_conv=bool(config.fused_conv),

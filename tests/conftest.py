@@ -14,9 +14,17 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+if "xla_cpu_collective_call_terminate_timeout_seconds" not in flags:
+    # 8 virtual devices share ONE physical core here; XLA:CPU collectives
+    # hard-CHECK (SIGABRT) if a rendezvous doesn't fully assemble within
+    # 40 s, which a concurrent compile/bench on the same host can trigger.
+    # Raise the termination timeout so load spikes surface as slow tests,
+    # never as a crashed interpreter (observed: all-to-all rendezvous
+    # termination at rendezvous.cc:127 under a parallel TPU-compile job).
+    flags += (" --xla_cpu_collective_call_warn_stuck_timeout_seconds=120"
+              " --xla_cpu_collective_call_terminate_timeout_seconds=1200")
+os.environ["XLA_FLAGS"] = flags
 
 import jax  # noqa: E402
 

@@ -103,6 +103,32 @@ def test_classify_model(key):
     assert "cls_bn" in vars_["params"]
 
 
+def test_legacy_pace_project_head(key):
+    """--legacy_pace rebuilds the reference's live bare-'r21d' dispatch:
+    CE over a 512-d Projector (Linear->BN->ReLU->Linear->BN->ReLU) output
+    (models/model.py:41-43 -> pace/r21d.py R2Plus1DNet(linear_flag=
+    'project')). The 'logits' are the ReLU'd projection: 512-wide and
+    non-negative."""
+    model = CSTPClassify(backbone="r21d", depth=1, num_classes=101,
+                         head_style="pace_project", dtype=jnp.float32)
+    x = jnp.ones((B, T, S, S, 3), jnp.float32) * 0.1
+    vars_ = model.init(key, x, train=False)
+    logits = model.apply(vars_, x, train=False)
+    assert logits.shape == (B, 512)
+    assert float(logits.min()) >= 0.0  # trailing ReLU
+    # head params: MLPHead under 'classify' + trailing 'pace_bn'
+    assert "classify" in vars_["params"] and "pace_bn" in vars_["params"]
+    assert vars_["params"]["classify"]["fc1"]["kernel"].shape == (512, 4096)
+
+    from cstp_tpu.config import Config
+    from cstp_tpu.train.finetune import create_classify_model
+
+    cfg = Config(model_name="r21d", model_depth=1, legacy_pace=1,
+                 task="ft_all", compute_dtype="float32").finalize()
+    m2 = create_classify_model(cfg, 101)
+    assert m2.head_style == "pace_project"
+
+
 def test_bn_scale_init_is_reference_glorot(key):
     """BN scales must start ~U(-sqrt(6/C), sqrt(6/C)), not ones
     (r21d_byol.py:306-309 glorot-inits BN weights)."""
