@@ -62,6 +62,11 @@ def main():
                          "instead of pre-staged batches (VERDICT r1 #7)")
     ap.add_argument("--e2e-workers", type=int, default=8)
     ap.add_argument("--e2e-videos", type=int, default=128)
+    ap.add_argument("--e2e-echo", type=int, default=1,
+                    help="data-echoing factor (--data_echo): each host batch "
+                         "is stepped N times; on-device augmentation draws "
+                         "fresh views per step, and the prefetcher reuses "
+                         "the landed device arrays so H2D drops by N too")
     args = ap.parse_args()
     if args.e2e and args.mode != "pretrain":
         ap.error("--e2e supports --mode pretrain only")
@@ -183,15 +188,24 @@ def main():
                           n_workers=args.e2e_workers).finalize()
             ds = build_dataset(dcfg, "train")
             loader = PretrainLoader(ds, b, cfg.sample_duration,
-                                    num_workers=args.e2e_workers)
+                                    num_workers=args.e2e_workers,
+                                    echo=args.e2e_echo)
 
-            def host_iter():
-                ep = 0
-                while True:
-                    yield from loader.epoch(ep)
+            def host_iter(n_batches):
+                # bounded: the prefetch worker must exit on its own (a live
+                # daemon thread holding device buffers at interpreter exit
+                # aborts the runtime)
+                ep = got = 0
+                while got < n_batches:
+                    for bt in loader.epoch(ep):
+                        yield bt
+                        got += 1
+                        if got == n_batches:
+                            return
                     ep += 1
 
-            it = prefetch_to_device(host_iter(), mesh, depth=3)
+            it = prefetch_to_device(
+                host_iter(args.warmup + n_steps), mesh, depth=3)
             for i in range(args.warmup):
                 state, metrics = step(state, keys[n_steps + i], next(it), lr)
             _ = float(metrics["loss"])

@@ -226,8 +226,19 @@ def prefetch_to_device(iterator, mesh, depth: int = 2):
 
     def worker():
         try:
+            last_host = last_dev = None
             for batch in iterator:
-                q.put(shard_batch(mesh, batch))
+                if batch is last_host:
+                    # data echoing (PretrainLoader ``echo``): the loader
+                    # yields the SAME batch object echo times — reuse the
+                    # already-landed device arrays so echoing cuts host->
+                    # device transfer (not just host decode) by the echo
+                    # factor; on-device augmentation still draws fresh views
+                    # from the per-step RNG key.
+                    q.put(last_dev)
+                    continue
+                last_host, last_dev = batch, shard_batch(mesh, batch)
+                q.put(last_dev)
         except Exception as e:  # surface loader errors on the main thread
             err.append(e)
         finally:

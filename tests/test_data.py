@@ -145,6 +145,27 @@ def test_pretrain_loader_data_echo():
     assert not np.array_equal(batches[0]["frames1"], batches[3]["frames1"])
 
 
+def test_prefetch_reuses_device_arrays_across_echoes():
+    """Echoed batches must land on the device ONCE: the prefetcher keys on
+    host-batch identity and re-yields the same device arrays, so --data_echo
+    cuts host->device transfer (not just host decode) by the echo factor."""
+    import jax
+
+    from cstp_tpu.data.loader import PretrainLoader, prefetch_to_device
+    from cstp_tpu.data.synthetic import SyntheticVideoDataset
+    from cstp_tpu.parallel.mesh import create_mesh
+
+    ds = SyntheticVideoDataset(n_videos=16, n_classes=4, ingest_hw=(16, 20))
+    loader = PretrainLoader(ds, batch_size=8, sample_duration=4,
+                            num_workers=1, echo=2)
+    mesh = create_mesh((len(jax.devices()), 1), ("data", "model"))
+    out = list(prefetch_to_device(loader.epoch(0), mesh, depth=2))
+    assert len(out) == 4  # 2 host batches x echo 2
+    assert out[0]["frames1"] is out[1]["frames1"]  # echo pair: same buffer
+    assert out[2]["frames1"] is out[3]["frames1"]
+    assert out[0]["frames1"] is not out[2]["frames1"]  # fresh host batch
+
+
 def test_reference_dataset_class_name_aliases():
     """Reference ``--dataset`` class names (script/r2p1d/kin400/*.sh) resolve
     to the right backend + dataset family."""
