@@ -43,6 +43,9 @@ def main():
     ap.add_argument("--cost", action="store_true")
     ap.add_argument("--remat", action="store_true",
                     help="remat residual stages (fits larger --per-chip-bs)")
+    ap.add_argument("--grad-accum", type=int, default=1,
+                    help="microbatch accumulation (fits larger effective "
+                         "--per-chip-bs; one optimizer update per step)")
     ap.add_argument("--remat-policy", default="", choices=["", "bnrelu"],
                     help="selective remat: recompute only BN/ReLU in bwd")
     ap.add_argument("--concat-views", type=int, default=1)
@@ -106,6 +109,7 @@ def main():
         concat_views=args.concat_views,
         s2d_stem=args.s2d_stem,
         fused_conv=int(args.fused_conv),
+        grad_accum=args.grad_accum,
     ).finalize()
 
     mesh = create_mesh(cfg.mesh_shape, cfg.mesh_axes)

@@ -133,6 +133,15 @@ class Config:
                                             # batch trains N steps; on-device
                                             # aug makes echoes distinct —
                                             # arXiv:1907.05550)
+    grad_accum: int = 1                     # microbatch gradient accumulation:
+                                            # each step scans N microbatches
+                                            # (per-microbatch BN stats = the
+                                            # reference's per-GPU/per-call
+                                            # semantics), averages grads, and
+                                            # applies ONE optimizer update —
+                                            # reproduces the reference's
+                                            # 128-global-batch recipe on fewer
+                                            # chips without the activation HBM
     auto_resume: bool = False               # restart from the newest ckpt in
                                             # the run dir (preemption-safe
                                             # launches; ref has no recovery)
@@ -182,6 +191,7 @@ class Config:
             self.loss_weight = (float(self.loss_weight),) * 5
         self.loss_weight = tuple(float(w) for w in self.loss_weight)
         assert len(self.loss_weight) == 5, "loss_weight must be 5 floats"
+        assert self.grad_accum >= 1, "--grad_accum must be >= 1"
         return self
 
     @property
@@ -294,6 +304,7 @@ def _add_args(parser: argparse.ArgumentParser) -> None:
                         type=int)
     parser.add_argument("--tf_i3d_ckpt", default=c.tf_i3d_ckpt, type=str)
     parser.add_argument("--data_echo", default=c.data_echo, type=int)
+    parser.add_argument("--grad_accum", default=c.grad_accum, type=int)
     parser.add_argument("--auto_resume", action="store_true")
 
 

@@ -22,7 +22,7 @@ from cstp_tpu.augment.pipeline import (
 from cstp_tpu.config import Config
 from cstp_tpu.pretext.sampling import strided_frame_indices, wraparound_frame_indices
 from cstp_tpu.ssl.byol import CSTPClassify, cross_entropy
-from cstp_tpu.train import optim
+from cstp_tpu.train import optim, pretrain
 from cstp_tpu.train.pretrain import TrainState
 
 
@@ -128,6 +128,9 @@ def make_finetune_step(model: CSTPClassify, tx, config: Config):
         acc = jnp.mean((jnp.argmax(logits, -1) == y).astype(jnp.float32))
         return loss, (acc, mutated["batch_stats"])
 
+    accum = config.grad_accum
+    n_data = pretrain.data_shard_count(config)
+
     @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state: TrainState, rng, batch, lr):
         x = finetune_train_augment_batch(
@@ -135,9 +138,26 @@ def make_finetune_step(model: CSTPClassify, tx, config: Config):
             norm_method=config.norm_method,
         ).astype(dtype)
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
-        (loss, (acc, new_stats)), grads = grad_fn(
-            state.params, state.batch_stats, x, batch["labels"]
-        )
+        if accum == 1:
+            (loss, (acc, new_stats)), grads = grad_fn(
+                state.params, state.batch_stats, x, batch["labels"]
+            )
+        else:
+            # --grad_accum: same microbatch scan as the pretrain step
+            # (train/pretrain.py) — per-microbatch BN stats, averaged
+            # grads, one optimizer update.
+            def body(carry, mb):
+                stats, gsum = carry
+                (l, (a, st)), g = grad_fn(state.params, stats, *mb)
+                return (st, jax.tree_util.tree_map(jnp.add, gsum, g)), (l, a)
+
+            zeros = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+            (new_stats, gsum), (ls, accs) = jax.lax.scan(
+                body, (state.batch_stats, zeros),
+                pretrain._microbatches((x, batch["labels"]), accum, n_data),
+            )
+            grads = jax.tree_util.tree_map(lambda g: g / accum, gsum)
+            loss, acc = jnp.mean(ls), jnp.mean(accs)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         lr_mult = (optim.bias_double_lr_multipliers(state.params)
                    if config.double_bias_lr else None)

@@ -41,13 +41,9 @@ class TrainState(struct.PyTreeNode):
     opt_state: Any
 
 
-def bn_groups_from_config(config: Config) -> int:
-    """--sync_bn 0 -> per-replica BN stats: one group per data shard
-    (the reference's *effective* per-GPU behavior; its SyncBN never
-    actually syncs — models/model.py:86-100). --sync_bn 1 -> 1 group =
-    global-batch stats."""
-    if config.sync_bn:
-        return 1
+def data_shard_count(config: Config) -> int:
+    """Size of the mesh 'data' axis implied by ``--mesh_shape`` (resolving
+    a -1 entry against the live device count)."""
     shape = list(config.mesh_shape)
     n = jax.device_count()
     known = 1
@@ -56,6 +52,16 @@ def bn_groups_from_config(config: Config) -> int:
             known *= s
     shape = [n // known if s == -1 else s for s in shape]
     return shape[list(config.mesh_axes).index("data")]
+
+
+def bn_groups_from_config(config: Config) -> int:
+    """--sync_bn 0 -> per-replica BN stats: one group per data shard
+    (the reference's *effective* per-GPU behavior; its SyncBN never
+    actually syncs — models/model.py:86-100). --sync_bn 1 -> 1 group =
+    global-batch stats."""
+    if config.sync_bn:
+        return 1
+    return data_shard_count(config)
 
 
 def effective_byol_momentum(config: Config) -> float:
@@ -150,6 +156,27 @@ def make_pretrain_step(model: CSTPPretrain, tx, config: Config):
         return train(state, views_labels, lr)
 
     return step
+
+
+def _microbatches(tree, accum: int, n_data_shards: int):
+    """Split every leaf (B, ...) -> (accum, B//accum, ...) so each microbatch
+    is a CONTIGUOUS per-device slice of the 'data'-sharded batch (global
+    mapping (D, accum, B/(D*accum)) with the accum axis moved out front) —
+    the split lowers to pure local reshapes under GSPMD, no cross-device
+    communication. Contiguity also keeps grouped per-replica BN semantics:
+    group g of a microbatch is exactly device g's slice of it."""
+
+    def split(x):
+        b, d = x.shape[0], n_data_shards
+        if b % (d * accum):
+            raise ValueError(
+                f"batch {b} not divisible by data_shards*grad_accum "
+                f"({d}*{accum})")
+        y = x.reshape((d, accum, b // (d * accum)) + x.shape[1:])
+        y = jnp.moveaxis(y, 1, 0)
+        return y.reshape((accum, b // accum) + x.shape[1:])
+
+    return jax.tree_util.tree_map(split, tree)
 
 
 def _build_pretrain_programs(model: CSTPPretrain, tx, config: Config):
@@ -256,19 +283,47 @@ def _build_pretrain_programs(model: CSTPPretrain, tx, config: Config):
         )
         return v1.astype(dtype), v2.astype(dtype), spa
 
+    accum = config.grad_accum
+    n_data = data_shard_count(config)
+
     @functools.partial(jax.jit, donate_argnums=(0,))
     def train(state: TrainState, views_labels, lr: jnp.ndarray):
         # EMA of target BEFORE the forward pass — reference updates the
         # target inside forward, pre-target-encode (r21d_byol.py:363-366).
+        # With --grad_accum the EMA still moves ONCE per optimizer step.
         params = dict(state.params)
         params["target_net"] = ema_update(
             state.params["target_net"], state.params["online_net"], momentum
         )
 
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
-        (_, (metrics, new_stats)), grads = grad_fn(
-            params, state.batch_stats, views_labels
-        )
+        if accum == 1:
+            (_, (metrics, new_stats)), grads = grad_fn(
+                params, state.batch_stats, views_labels
+            )
+        else:
+            # Microbatch accumulation: scan bounds the live activation set
+            # to one microbatch, so effective per-chip batches beyond the
+            # b=64 HBM ceiling (PERF.md) train with ONE optimizer update.
+            # Per-microbatch BN batch stats == the reference's per-forward-
+            # call (per-GPU) statistics; running stats thread sequentially
+            # through the scan exactly like torch's per-call updates. The
+            # update math is equivalence-tested against a pure-DP run of
+            # the same global batch (tests/test_grad_accum.py). NB: with
+            # --ntxent_weight, in-batch negatives are per-microbatch.
+            def body(carry, mb):
+                stats, gsum = carry
+                (_, (m, st)), g = grad_fn(params, stats, mb)
+                return (st, jax.tree_util.tree_map(jnp.add, gsum, g)), m
+
+            zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
+            (new_stats, gsum), mstack = jax.lax.scan(
+                body, (state.batch_stats, zeros),
+                _microbatches(views_labels, accum, n_data),
+            )
+            grads = jax.tree_util.tree_map(lambda g: g / accum, gsum)
+            metrics = jax.tree_util.tree_map(
+                lambda m: jnp.mean(m, axis=0), mstack)
         updates, new_opt = tx.update(grads, state.opt_state, params)
         lr_mult = (optim.bias_double_lr_multipliers(params)
                    if config.double_bias_lr else None)

@@ -42,13 +42,51 @@ def run_one(name, bench_args, env_extra, steps):
     return d
 
 
+VMEM64 = "--xla_tpu_scoped_vmem_limit_kib=65536"
+
+
+def flags_grid():
+    """Round-5 grid: untried libtpu scheduler/fusion knobs layered on the
+    measured vmem64m default (bench.py bakes vmem64m in; an explicit
+    LIBTPU_INIT_ARGS here REPLACES it, so every entry re-includes it).
+    Unknown-flag entries fail loudly per-config and are recorded as such."""
+
+    def e(extra):
+        return {"LIBTPU_INIT_ARGS": f"{VMEM64} {extra}"}
+
+    b64 = ["--per-chip-bs", "64"]
+    return [
+        ("b64-control", b64, e("")),
+        ("fusion-cost-model", b64,
+         e("--xla_tpu_enable_experimental_fusion_cost_model=true")),
+        ("aggr-loop-fusion-layout", b64,
+         e("--xla_tpu_enable_aggressive_loop_fusion_layout_opt=true")),
+        ("licm-inflate-2", b64, e("--xla_tpu_licm_size_inflation_ratio=2")),
+        ("scavenge-vmem", b64, e("--xla_tpu_scavenge_vmem_for_fusions=true")),
+        ("rwb-fusion-off", b64, e("--xla_tpu_rwb_fusion=false")),
+        ("copy-bw-x2", b64,
+         e("--xla_tpu_async_copy_bandwidth_scaling_factor=2.0")),
+        ("copy-bw-x0.5", b64,
+         e("--xla_tpu_async_copy_bandwidth_scaling_factor=0.5")),
+        ("vmem80m", b64,
+         {"LIBTPU_INIT_ARGS": "--xla_tpu_scoped_vmem_limit_kib=81920"}),
+        # --grad_accum probes: b128/accum2 = recipe batch 128 on ONE chip
+        # (microbatch 64); b64/accum2 isolates the scan overhead at the
+        # round-3 sweet-spot microbatch shape's half size
+        ("b128-accum2", ["--per-chip-bs", "128", "--grad-accum", "2"],
+         e("")),
+        ("b64-accum2", ["--per-chip-bs", "64", "--grad-accum", "2"], e("")),
+    ]
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--grid", default="default", choices=["default", "flags"])
     ap.add_argument("--steps", type=int, default=10)
     args = ap.parse_args()
 
-    VM64 = {"LIBTPU_INIT_ARGS": "--xla_tpu_scoped_vmem_limit_kib=65536"}
+    VM64 = {"LIBTPU_INIT_ARGS": VMEM64}
     grid = [
         ("b64-s2d-vmem64m", ["--per-chip-bs", "64", "--s2d-stem"], VM64),
         ("b64-vmem96m",
@@ -58,7 +96,9 @@ def main():
          ["--per-chip-bs", "64"],
          {"LIBTPU_INIT_ARGS": "--xla_tpu_scoped_vmem_limit_kib=131072"}),
     ]
-    if not args.quick:
+    if args.grid == "flags":
+        grid = flags_grid()
+    elif not args.quick:
         grid += [
             # round-3 first sweep (results in PERF.md): b64 235.4,
             # b64-remat 204.6, b48 192.4, b64-vmem64m 247.2, b64-vmem32m
