@@ -83,6 +83,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--grid", default="default", choices=["default", "flags"])
+    ap.add_argument("--only", default="",
+                    help="comma-separated config names to run (resume a "
+                         "partial sweep)")
     ap.add_argument("--steps", type=int, default=10)
     args = ap.parse_args()
 
@@ -108,6 +111,10 @@ def main():
             ("b96-remat-vmem64m",
              ["--per-chip-bs", "96", "--remat"], VM64),
         ]
+
+    if args.only:
+        keep = {s.strip() for s in args.only.split(",") if s.strip()}
+        grid = [g for g in grid if g[0] in keep]
 
     results = []
     for name, bench_args, env_extra in grid:
