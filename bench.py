@@ -53,6 +53,9 @@ def main():
                     help="exact space-to-depth stem rewrite (r21d)")
     ap.add_argument("--fused-conv", action="store_true",
                     help="Pallas-fused (2+1)D stride-1 blocks (r21d)")
+    ap.add_argument("--mid-round", type=int, default=1,
+                    help="round r21d factorized mid widths to multiples of N "
+                         "(128 = lane width); TPU model variant")
     ap.add_argument("--model", default="r21d",
                     help="backbone family (r21d|c3d|r3d|s3d|i3d)")
     ap.add_argument("--depth", type=int, default=1)
@@ -109,6 +112,7 @@ def main():
         concat_views=args.concat_views,
         s2d_stem=args.s2d_stem,
         fused_conv=int(args.fused_conv),
+        mid_round=args.mid_round,
         grad_accum=args.grad_accum,
     ).finalize()
 

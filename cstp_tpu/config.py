@@ -151,6 +151,12 @@ class Config:
                                             # (long-horizon learning runs)
     fused_conv: int = 0                     # Pallas-fused (2+1)D stride-1
                                             # blocks (ops/pallas/conv21d.py)
+    mid_round: int = 1                      # round r21d factorized mid
+                                            # channels to multiples of N
+                                            # (128 = TPU lane width) — an
+                                            # explicit TPU model variant;
+                                            # changes parameter shapes (see
+                                            # layers.r21d_intermediate_channels)
 
     # Bare model names that dispatch to LEGACY contrastive variants in the
     # reference (models/model.py:41-43 -> models/pace/{r21d,c3d,r3d}.py,
@@ -288,6 +294,7 @@ def _add_args(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--synthetic_learnable", default=c.synthetic_learnable,
                         type=int)
     parser.add_argument("--fused_conv", default=c.fused_conv, type=int)
+    parser.add_argument("--mid_round", default=c.mid_round, type=int)
     parser.add_argument("--legacy_pace", default=c.legacy_pace, type=int)
     parser.add_argument("--ckpt_every_epochs", default=c.ckpt_every_epochs, type=int)
     parser.add_argument("--log_every", default=c.log_every, type=int)

@@ -209,14 +209,26 @@ class Conv3d(nn.Module):
 
 
 def r21d_intermediate_channels(
-    in_channels: int, out_channels: int, kernel: Tuple[int, int, int]
+    in_channels: int, out_channels: int, kernel: Tuple[int, int, int],
+    round_to: int = 1,
 ) -> int:
     """Mid-channel count of the factorized (2+1)D conv — paper §3.5 formula
-    as coded at reference r21d_byol.py:74-76."""
+    as coded at reference r21d_byol.py:74-76.
+
+    ``round_to`` > 1 (--mid_round): round the formula's result to the nearest
+    multiple of ``round_to`` (minimum one multiple). TPU arrays are tiled with
+    a 128-lane minor dimension, so a C=144 mid tensor physically occupies (and
+    moves) 256 lanes of HBM; since the train step is memory-bound (PERF.md),
+    lane-aligning the mid widths (83/144/230/288 -> 128/128/256/256 at
+    round_to=128) removes pure padding traffic. This changes parameter shapes
+    — an explicit TPU model variant, not the reference architecture."""
     kt, kh, kw = kernel
     num = kt * kh * kw * in_channels * out_channels
     den = kh * kw * in_channels + kt * out_channels
-    return int(math.floor(num / den))
+    mid = int(math.floor(num / den))
+    if round_to > 1:
+        mid = max(round_to, round_to * int(round(mid / round_to)))
+    return mid
 
 
 class SpatialS2DConv(nn.Module):
@@ -325,6 +337,7 @@ class SpatioTemporalConv(nn.Module):
     bn_groups: int = 1
     s2d: bool = False
     fused: bool = False
+    mid_round: int = 1
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -332,7 +345,8 @@ class SpatioTemporalConv(nn.Module):
         st, sh, sw = self.stride
         pt, ph, pw = self.padding
         in_ch = x.shape[-1]
-        mid = r21d_intermediate_channels(in_ch, self.features, self.kernel)
+        mid = r21d_intermediate_channels(in_ch, self.features, self.kernel,
+                                         self.mid_round)
         if (self.fused and train and self.stride == (1, 1, 1)
                 and (kt, pt) == (3, 1) and (ph, pw) == (kh // 2, kw // 2)):
             from cstp_tpu.ops.pallas.conv21d import fused_st_conv

@@ -37,6 +37,7 @@ class SpatioTemporalResBlock(nn.Module):
     dtype: Any = jnp.bfloat16
     bn_groups: int = 1
     fused_conv: bool = False
+    mid_round: int = 1
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -44,21 +45,22 @@ class SpatioTemporalResBlock(nn.Module):
         res = SpatioTemporalConv(
             self.features, (3, 3, 3), stride, (1, 1, 1),
             dtype=self.dtype, bn_groups=self.bn_groups,
-            fused=self.fused_conv, name="conv1",
+            fused=self.fused_conv, mid_round=self.mid_round, name="conv1",
         )(x, train)
         res = BatchNorm(dtype=self.dtype, groups=self.bn_groups, name="bn1")(res, not train)
         res = tag_bnrelu(nn.relu(res).astype(self.dtype))
         res = SpatioTemporalConv(
             self.features, (3, 3, 3), (1, 1, 1), (1, 1, 1),
             dtype=self.dtype, bn_groups=self.bn_groups,
-            fused=self.fused_conv, name="conv2",
+            fused=self.fused_conv, mid_round=self.mid_round, name="conv2",
         )(res, train)
         res = BatchNorm(dtype=self.dtype, groups=self.bn_groups, name="bn2")(res, not train)
 
         if self.downsample:
             x = SpatioTemporalConv(
                 self.features, (1, 1, 1), (2, 2, 2), (0, 0, 0),
-                dtype=self.dtype, bn_groups=self.bn_groups, name="downsampleconv",
+                dtype=self.dtype, bn_groups=self.bn_groups,
+                mid_round=self.mid_round, name="downsampleconv",
             )(x, train)
             x = BatchNorm(dtype=self.dtype, groups=self.bn_groups, name="downsamplebn")(x, not train)
 
@@ -79,19 +81,20 @@ class SpatioTemporalResLayer(nn.Module):
     dtype: Any = jnp.bfloat16
     bn_groups: int = 1
     fused_conv: bool = False
+    mid_round: int = 1
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         x = SpatioTemporalResBlock(
             self.features, self.downsample, dtype=self.dtype,
             bn_groups=self.bn_groups, fused_conv=self.fused_conv,
-            name="block1"
+            mid_round=self.mid_round, name="block1"
         )(x, train)
         for i in range(self.layer_size - 1):
             x = SpatioTemporalResBlock(
                 self.features, False, dtype=self.dtype,
                 bn_groups=self.bn_groups, fused_conv=self.fused_conv,
-                name=f"block{i + 2}"
+                mid_round=self.mid_round, name=f"block{i + 2}"
             )(x, train)
         return x
 
@@ -120,6 +123,10 @@ class R2Plus1DNet(nn.Module):
     # Pallas-fused spatial->BN->ReLU->temporal chain for the stride-1 blocks
     # (--fused_conv; ops/pallas/conv21d.py)
     fused_conv: bool = False
+    # round factorized mid-channel widths to multiples of N (--mid_round;
+    # 128 = TPU lane width). Changes parameter shapes — an explicit
+    # TPU-variant model, see layers.r21d_intermediate_channels
+    mid_round: int = 1
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -127,7 +134,8 @@ class R2Plus1DNet(nn.Module):
         x = x.astype(self.dtype)
         x = SpatioTemporalConv(
             64, (3, 7, 7), (1, 2, 2), (1, 3, 3), dtype=self.dtype,
-            bn_groups=self.bn_groups, s2d=self.s2d_stem, name="conv1"
+            bn_groups=self.bn_groups, s2d=self.s2d_stem,
+            mid_round=self.mid_round, name="conv1"
         )(x, train)
         x = BatchNorm(dtype=self.dtype, groups=self.bn_groups, name="bn1")(x, not train)
         x = nn.relu(x).astype(self.dtype)
@@ -146,22 +154,22 @@ class R2Plus1DNet(nn.Module):
         x = Layer(
             64, self.layer_sizes[0], False, dtype=self.dtype,
             bn_groups=self.bn_groups, fused_conv=self.fused_conv,
-            name="conv2"
+            mid_round=self.mid_round, name="conv2"
         )(x, train)
         x = Layer(
             128, self.layer_sizes[1], True, dtype=self.dtype,
             bn_groups=self.bn_groups, fused_conv=self.fused_conv,
-            name="conv3"
+            mid_round=self.mid_round, name="conv3"
         )(x, train)
         x = Layer(
             256, self.layer_sizes[2], True, dtype=self.dtype,
             bn_groups=self.bn_groups, fused_conv=self.fused_conv,
-            name="conv4"
+            mid_round=self.mid_round, name="conv4"
         )(x, train)
         x = Layer(
             512, self.layer_sizes[3], True, dtype=self.dtype,
             bn_groups=self.bn_groups, fused_conv=self.fused_conv,
-            name="conv5"
+            mid_round=self.mid_round, name="conv5"
         )(x, train)
         # global average pool over (T, H, W) -> (B, 512), f32 like the torch
         # AdaptiveAvgPool3d output feeding f32 heads

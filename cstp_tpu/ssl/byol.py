@@ -95,6 +95,7 @@ class CSTPPretrain(nn.Module):
     remat_policy: str = ""        # 'bnrelu' selective remat (--remat_policy)
     alpha: int = 4                # slowfast frame-rate ratio (--alpha)
     fused_conv: bool = False      # Pallas-fused (2+1)D blocks (--fused_conv)
+    mid_round: int = 1            # lane-rounded r21d mid widths (--mid_round)
     # True: the two views run through each tower as ONE batched 2B call with
     # BN groups DOUBLED so statistics stay per-view. False: two B-sized calls
     # per tower — the reference's own call pattern (r21d_byol.py:358-372).
@@ -112,6 +113,8 @@ class CSTPPretrain(nn.Module):
                  if self.backbone.startswith("slowfast") else {})
         if self.fused_conv and self.backbone.startswith("r21d"):
             extra["fused_conv"] = True
+        if self.mid_round > 1 and self.backbone.startswith("r21d"):
+            extra["mid_round"] = self.mid_round
         if self.remat_policy and self.backbone.startswith("r21d"):
             extra["remat_policy"] = self.remat_policy
         self.online_net = make_backbone(
@@ -233,6 +236,7 @@ class CSTPClassify(nn.Module):
     s2d_stem: bool = False
     alpha: int = 4                # slowfast frame-rate ratio (--alpha)
     fused_conv: bool = False      # Pallas-fused (2+1)D blocks (--fused_conv)
+    mid_round: int = 1            # lane-rounded r21d mid widths (--mid_round)
 
     def setup(self):
         spec = backbone_spec(self.backbone, self.depth)
@@ -241,6 +245,8 @@ class CSTPClassify(nn.Module):
                  if self.backbone.startswith("slowfast") else {})
         if self.fused_conv and self.backbone.startswith("r21d"):
             extra["fused_conv"] = True
+        if self.mid_round > 1 and self.backbone.startswith("r21d"):
+            extra["mid_round"] = self.mid_round
         self.online_net = make_backbone(
             self.backbone, self.depth, dtype=self.dtype, proj_flag=False,
             bn_groups=self.bn_groups, shortcut=self.shortcut,

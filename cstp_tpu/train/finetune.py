@@ -51,6 +51,7 @@ def create_classify_model(config: Config, num_classes: int) -> CSTPClassify:
         s2d_stem=config.s2d_stem,
         alpha=config.alpha,
         fused_conv=bool(config.fused_conv),
+        mid_round=config.mid_round,
     )
 
 

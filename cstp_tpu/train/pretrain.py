@@ -90,6 +90,7 @@ def create_pretrain_model(config: Config) -> CSTPPretrain:
         concat_views=bool(config.concat_views),
         alpha=config.alpha,
         fused_conv=bool(config.fused_conv),
+        mid_round=config.mid_round,
     )
 
 

@@ -131,6 +131,30 @@ def test_s2d_stem_flag(key):
     assert out.shape == (1, 1024)
 
 
+def test_mid_round_flag_lane_aligns_mid_channels(key):
+    """--mid_round 128 rounds the r21d factorized mid widths to lane
+    multiples (83/144 -> 128); default keeps the reference formula
+    (r21d_byol.py:74-76). Output dim stays 512 either way."""
+    from cstp_tpu.models import make_backbone
+    from cstp_tpu.models.layers import r21d_intermediate_channels
+
+    assert r21d_intermediate_channels(64, 64, (3, 3, 3)) == 144
+    assert r21d_intermediate_channels(64, 64, (3, 3, 3), 128) == 128
+    assert r21d_intermediate_channels(3, 64, (3, 7, 7), 128) == 128   # 83 up
+    assert r21d_intermediate_channels(64, 128, (3, 3, 3), 128) == 256  # 230
+    assert r21d_intermediate_channels(512, 512, (3, 3, 3), 128) == 1152
+
+    x = jnp.zeros((1, 4, 32, 32, 3), jnp.float32)
+    m = make_backbone("r21d", dtype=jnp.float32, mid_round=128)
+    v = m.init(key, x, train=False)
+    stem = v["params"]["conv1"]["spatial_conv"]["kernel"]
+    blk = v["params"]["conv2"]["block1"]["conv1"]["spatial_conv"]["kernel"]
+    assert stem.shape == (1, 7, 7, 3, 128)   # formula: 83
+    assert blk.shape == (1, 3, 3, 64, 128)   # formula: 144
+    out = m.apply(v, x, train=False)
+    assert out.shape == (1, 512)
+
+
 def test_ntxent_weight_wires_contrastive_term(key):
     """--ntxent_weight > 0 adds the contrastive term to the pretrain loss."""
     from cstp_tpu.train.pretrain import (
