@@ -60,8 +60,12 @@ def main():
                     help="backbone family (r21d|c3d|r3d|s3d|i3d)")
     ap.add_argument("--depth", type=int, default=1)
     ap.add_argument("--mode", default="pretrain",
-                    choices=["pretrain", "ft"],
-                    help="ft = supervised finetune step (1 tower + CE)")
+                    choices=["pretrain", "ft", "eval"],
+                    help="ft = supervised finetune step (1 tower + CE); "
+                         "eval = inference/serving path (deterministic "
+                         "scale+center-crop + eval-mode forward — the "
+                         "video-level test step, train/finetune.py "
+                         "make_eval_step)")
     ap.add_argument("--e2e", action="store_true",
                     help="sustained loader->prefetch->step throughput: "
                          "drives PretrainLoader over a RAW CSTPack shard "
@@ -119,11 +123,12 @@ def main():
     mesh = create_mesh(cfg.mesh_shape, cfg.mesh_axes)
     rng = np.random.default_rng(0)
     b, t, h0, w0 = cfg.batch_size, cfg.sample_duration, 128, 171
-    if args.mode == "ft":
+    if args.mode in ("ft", "eval"):
         import dataclasses
 
         from cstp_tpu.train.finetune import (
             create_finetune_state,
+            make_eval_step,
             make_finetune_step,
         )
 
@@ -131,7 +136,8 @@ def main():
         model, state, tx = create_finetune_state(
             cfg, jax.random.PRNGKey(0), cfg.n_finetune_classes)
         state = shard_state(mesh, state)
-        step = make_finetune_step(model, tx, cfg)
+        step = (make_eval_step(model, cfg) if args.mode == "eval"
+                else make_finetune_step(model, tx, cfg))
 
         def make_batch():
             return shard_batch(mesh, {
@@ -164,8 +170,12 @@ def main():
     # notes). Real training overlaps H2D via the loader prefetcher.
     keys = list(jax.device_put(np.asarray(
         jax.random.split(key, n_steps + args.warmup))))
-    batches = [] if args.e2e else [make_batch() for _ in range(3)]
-    fkey = "frames" if args.mode == "ft" else "frames1"
+    # eval mode: the state never changes between steps, so the tunnel relay
+    # would memoize repeated executions — stage one DISTINCT batch per step
+    n_batches = (0 if args.e2e
+                 else n_steps + args.warmup if args.mode == "eval" else 3)
+    batches = [make_batch() for _ in range(n_batches)]
+    fkey = "frames1" if args.mode == "pretrain" else "frames"
     for bt in batches:
         _ = np.asarray(bt[fkey][0, 0, 0, 0, 0])
     _ = np.asarray(keys[0])
@@ -225,6 +235,17 @@ def main():
                 dt = time.perf_counter() - t0
         finally:
             shutil.rmtree(tmpd, ignore_errors=True)
+    elif args.mode == "eval":
+        tot = jnp.zeros((), jnp.float32)  # scalar chain = real sync at fetch
+        for i in range(args.warmup):
+            tot = tot + step(state, batches[n_steps + i])["loss_sum"]
+        _ = float(tot)
+        with profiling.trace(args.profile_dir):
+            t0 = time.perf_counter()
+            for i in range(n_steps):
+                tot = tot + step(state, batches[i])["loss_sum"]
+            _ = float(tot)
+            dt = time.perf_counter() - t0
     else:
         for i in range(args.warmup):
             state, metrics = step(state, keys[n_steps + i],
@@ -287,8 +308,9 @@ def main():
             log("aug cost:", json.dumps(profiling.summarize(
                 aug_cost, step_s), default=str, indent=2))
 
+    mode_name = {"ft": "finetune", "eval": "eval"}.get(args.mode, "pretrain")
     print(json.dumps({
-        "metric": f"{'finetune' if args.mode == 'ft' else 'pretrain'}"
+        "metric": f"{mode_name}"
                   f"{'_e2e' if args.e2e else ''}"
                   "_clips_per_sec_per_chip",
         "value": round(per_chip, 2),

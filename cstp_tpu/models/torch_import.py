@@ -1,4 +1,4 @@
-"""Import reference PyTorch checkpoints (``save_{E}.pth``) into Flax trees.
+"""Import/export reference PyTorch checkpoints (``save_{E}.pth``).
 
 The reference saves ``{'epoch', 'arch', 'state_dict', 'optimizer'}`` with
 DDP ``module.``-prefixed torch parameter names (``main_byol.py:134-140``).
@@ -7,11 +7,19 @@ a user can finetune from a reference-pretrained checkpoint directly:
 
     python -m cstp_tpu.cli.main_ft --pretrained_path save_300.pth ...
 
+and the INVERSE (:func:`export_torch_state_dict`): a cstp_tpu checkpoint
+written back out under the reference's own module names, so features
+pretrained here can be finetuned/evaluated in the reference PyTorch stack:
+
+    python -m cstp_tpu.models.torch_import --export results/.../save_300 \
+        out.pth --arch r21d_byol
+
 Name translation is purely mechanical (module-name maps per backbone
 family); tensors are re-laid out torch->flax (conv OIDHW -> DHWIO, linear
 (out,in) -> (in,out)). The weight-transplant tests
 (tests/test_torch_parity.py) prove translated checkpoints reproduce the
-reference's outputs exactly.
+reference's outputs exactly, and export round-trips load into the actual
+reference models with no unexpected keys.
 """
 
 from __future__ import annotations
@@ -272,24 +280,261 @@ def load_torch_checkpoint(path: str, arch: str) -> Tuple[Dict, Dict]:
     return convert_torch_state_dict(sd, arch), meta
 
 
-def main(argv=None):
-    """CLI: convert a reference .pth into a cstp_tpu checkpoint directory.
+# ---------------------------------------------------------------------------
+# Export: Flax tree -> reference torch state_dict (inverse of the maps above)
+# ---------------------------------------------------------------------------
 
+_MLP_IDX_INV = {v: k for k, v in _MLP_IDX.items()}  # fc1->0, bn->1, fc2->3
+
+
+def _inv_r21d(parts: List[str]) -> List[str]:
+    out: List[str] = []
+    i = 0
+    while i < len(parts):
+        p = parts[i]
+        m = re.fullmatch(r"block(\d+)", p)
+        if m and int(m.group(1)) >= 2:
+            out += ["blocks", str(int(m.group(1)) - 2)]
+        elif p == "project":
+            out += ["project", "net", _MLP_IDX_INV[parts[i + 1]]]
+            i += 2
+            continue
+        else:
+            out.append(p)
+        i += 1
+    return out
+
+
+def _inv_c3d(parts: List[str]) -> List[str]:
+    if len(parts) >= 2 and parts[0].startswith("conv"):
+        if parts[1] == "bn":
+            return ["bn" + parts[0][4:]] + list(parts[2:])
+        if parts[1] == "conv":
+            return [parts[0]] + list(parts[2:])
+    return list(parts)
+
+
+def _inv_r3d(parts: List[str]) -> List[str]:
+    out: List[str] = []
+    for p in parts:
+        m = re.fullmatch(r"layer(\d)_block(\d+)", p)
+        if m:
+            out += [f"layer{m.group(1)}", str(int(m.group(2)) - 1)]
+        elif p == "downsample_conv":
+            out += ["downsample", "0"]
+        elif p == "downsample_bn":
+            out += ["downsample", "1"]
+        else:
+            out.append(p)
+    return out
+
+
+def _inv_s3d(parts: List[str]) -> List[str]:
+    out: List[str] = []
+    i = 0
+    while i < len(parts):
+        p = parts[i]
+        if p == "branch0":
+            out += ["branch0", "0"]
+        elif p == "branch3_1":
+            out += ["branch3", "1"]
+        elif re.fullmatch(r"branch[12]_\d+", p):
+            b, idx = p.split("_")
+            out += [b, idx]
+        elif p == "project":
+            out += ["project", "net", _MLP_IDX_INV[parts[i + 1]]]
+            i += 2
+            continue
+        else:
+            out.append(p)
+        i += 1
+    return out
+
+
+def _inv_i3d(parts: List[str]) -> List[str]:
+    out: List[str] = []
+    for p in parts:
+        if p == "conv":
+            out.append("conv3d")
+        elif p == "bn":
+            out.append("batch3d")
+        elif p == "branch_3_1":
+            out += ["branch_3", "1"]
+        elif re.fullmatch(r"branch_[0-2]_\d+", p):
+            b0, b1, idx = p.split("_")
+            out += [f"{b0}_{b1}", idx]
+        else:
+            out.append(p)
+    return out
+
+
+_BACKBONE_INV = {
+    "r21d": _inv_r21d,
+    "c3d": _inv_c3d,
+    "r3d": _inv_r3d,
+    "s3d": _inv_s3d,
+    "i3d": _inv_i3d,
+}
+
+
+def _inv_top_path(path: List[str], family: str, mlp_heads: bool) -> List[str]:
+    inv = _BACKBONE_INV[family]
+    p = path[0]
+    if p in ("online_net", "target_net"):
+        return [p] + inv(path[1:])
+    if p == "predictor":
+        return ["predictor", "net", _MLP_IDX_INV[path[1]]] + path[2:]
+    if p in _PRETEXT_HEADS:
+        # r3d/i3d name the rotation head ``rot_cls`` (r3d_byol.py:253)
+        name = ("rot_cls" if p == "rotate_cls" and family in ("r3d", "i3d")
+                else p)
+        if mlp_heads:
+            assert path[1] == "mlp", path
+            return [name, _MLP_IDX_INV[path[2]]] + path[3:]
+        assert path[1] == "fc", path
+        return [name] + path[2:]
+    if p == "cls_bn":
+        return ["cls_bn"] + path[1:]
+    if p == "classify":
+        if len(path) > 1 and path[1] in _MLP_IDX_INV:  # S3DClassify MLP head
+            return ["classify", _MLP_IDX_INV[path[1]]] + path[2:]
+        return ["classify"] + path[1:]
+    return inv(path)
+
+
+def _walk_modules(params: Dict, stats: Dict):
+    """Yield ``(module_path, kind, leaves)`` over a Flax tree.
+
+    kind 'dense' = conv/linear (has ``kernel``), 'bn' = our BatchNorm wrapper
+    (child ``bn`` holding scale/bias, running stats in the parallel
+    ``batch_stats`` tree), 'scale' = bare scale/bias module.
+    """
+    def rec(pnode, snode, path):
+        if not isinstance(pnode, dict):
+            return
+        if "kernel" in pnode and not isinstance(pnode["kernel"], dict):
+            yield path, "dense", pnode
+            return
+        inner = pnode.get("bn")
+        if isinstance(inner, dict) and "scale" in inner:
+            sin = snode.get("bn", {}) if isinstance(snode, dict) else {}
+            yield path, "bn", {
+                "weight": inner["scale"], "bias": inner.get("bias"),
+                "running_mean": sin.get("mean"), "running_var": sin.get("var"),
+            }
+            rest = {k: v for k, v in pnode.items() if k != "bn"}
+            pnode = rest
+        elif "scale" in pnode and not isinstance(pnode["scale"], dict):
+            yield path, "scale", pnode
+            return
+        for k, v in pnode.items():
+            yield from rec(
+                v, snode.get(k) if isinstance(snode, dict) else {}, path + [k])
+    yield from rec(params, stats, [])
+
+
+def export_torch_state_dict(tree: Dict[str, Dict], arch: str,
+                            ddp_prefix: bool = False) -> Dict[str, np.ndarray]:
+    """Inverse of :func:`convert_torch_state_dict`: a ``{'params',
+    'batch_stats'}`` Flax tree -> a reference-named torch-layout state_dict
+    (numpy values; conv DHWIO -> OIDHW, linear (in,out) -> (out,in)).
+
+    BN modules also emit ``num_batches_tracked`` (0) so the dict satisfies
+    strict ``load_state_dict`` in the reference models. ``ddp_prefix`` adds
+    the DDP ``module.`` prefix the reference's own ``torch.save`` blobs carry
+    (main_byol.py:134-140). The only reference keys never emitted are the
+    coclr-S3D ``blockN`` Sequential ALIASES (s3dg.py:181-230) — they share
+    storage with the canonical modules, so loading the canonical names loads
+    them too (strict=False; see tests/test_torch_parity.py round-trips).
+    """
+    family = arch.split("_")[0]
+    if family not in _BACKBONE_INV:
+        raise ValueError(f"unknown model family {arch!r}")
+    mlp_heads = family in ("r21d", "s3d")
+    params = tree.get("params", {})
+    stats = tree.get("batch_stats", {})
+
+    sd: Dict[str, np.ndarray] = {}
+    pre = "module." if ddp_prefix else ""
+    for path, kind, leaves in _walk_modules(params, stats):
+        prefix = pre + ".".join(_inv_top_path(path, family, mlp_heads))
+        if kind == "bn":
+            sd[f"{prefix}.weight"] = np.asarray(leaves["weight"])
+            if leaves.get("bias") is not None:
+                sd[f"{prefix}.bias"] = np.asarray(leaves["bias"])
+            if leaves.get("running_mean") is not None:
+                sd[f"{prefix}.running_mean"] = np.asarray(leaves["running_mean"])
+                sd[f"{prefix}.running_var"] = np.asarray(leaves["running_var"])
+                sd[f"{prefix}.num_batches_tracked"] = np.asarray(0, np.int64)
+            continue
+        if kind == "scale":
+            sd[f"{prefix}.weight"] = np.asarray(leaves["scale"])
+            if "bias" in leaves:
+                sd[f"{prefix}.bias"] = np.asarray(leaves["bias"])
+            continue
+        k = np.asarray(leaves["kernel"])
+        if k.ndim == 5:    # DHWIO -> OIDHW
+            sd[f"{prefix}.weight"] = np.transpose(k, (4, 3, 0, 1, 2))
+        elif k.ndim == 2:  # (in,out) -> (out,in)
+            sd[f"{prefix}.weight"] = k.T
+        else:
+            raise ValueError(f"unexpected kernel rank {k.ndim} at {prefix}")
+        if "bias" in leaves:
+            sd[f"{prefix}.bias"] = np.asarray(leaves["bias"])
+    return sd
+
+
+def save_torch_checkpoint(out_path: str, tree: Dict[str, Dict], arch: str,
+                          epoch: int = 0, ddp_prefix: bool = True) -> int:
+    """Write a reference-format ``save_{E}.pth`` blob (epoch/arch/state_dict,
+    DDP-prefixed names — main_byol.py:134-140) from a Flax tree. Returns the
+    tensor count."""
+    import torch
+
+    sd = export_torch_state_dict(tree, arch, ddp_prefix=ddp_prefix)
+    blob = {
+        "epoch": epoch,
+        "arch": arch,
+        "state_dict": {k: torch.as_tensor(np.ascontiguousarray(v))
+                       for k, v in sd.items()},
+    }
+    torch.save(blob, out_path)
+    return len(sd)
+
+
+def main(argv=None):
+    """CLI: convert reference .pth <-> cstp_tpu checkpoint directories.
+
+        # import: reference save_300.pth -> cstp_tpu checkpoint dir
         python -m cstp_tpu.models.torch_import save_300.pth out_dir \
+            --arch r21d_byol
+
+        # export: cstp_tpu checkpoint dir -> reference-format .pth
+        python -m cstp_tpu.models.torch_import --export ckpt_dir out.pth \
             --arch r21d_byol
     """
     import argparse
 
-    from cstp_tpu.ckpt.checkpoint import save_checkpoint
+    from cstp_tpu.ckpt.checkpoint import restore_checkpoint, save_checkpoint
 
     ap = argparse.ArgumentParser(description=main.__doc__)
-    ap.add_argument("pth")
+    ap.add_argument("src")
     ap.add_argument("out")
     ap.add_argument("--arch", default="r21d_byol")
+    ap.add_argument("--export", action="store_true",
+                    help="src is a cstp_tpu checkpoint dir; write a "
+                         "reference-format .pth to out")
+    ap.add_argument("--epoch", type=int, default=0)
     args = ap.parse_args(argv)
-    tree, meta = load_torch_checkpoint(args.pth, args.arch)
+    if args.export:
+        tree, meta = restore_checkpoint(args.src)
+        epoch = args.epoch or int(meta.get("epoch", 0) or 0)
+        n = save_torch_checkpoint(args.out, tree, args.arch, epoch=epoch)
+        print(f"exported {n} tensors -> {args.out}")
+        return
+    tree, meta = load_torch_checkpoint(args.src, args.arch)
     meta.setdefault("arch", args.arch)
-    meta["source"] = args.pth
+    meta["source"] = args.src
     save_checkpoint(args.out, tree, meta)
     n = sum(1 for _ in _iter_leaves(tree))
     print(f"converted {n} tensors -> {args.out}")

@@ -64,6 +64,14 @@ def flags_grid():
         ("licm-inflate-2", b64, e("--xla_tpu_licm_size_inflation_ratio=2")),
         ("scavenge-vmem", b64, e("--xla_tpu_scavenge_vmem_for_fusions=true")),
         ("rwb-fusion-off", b64, e("--xla_tpu_rwb_fusion=false")),
+        # the two flags that individually matched/edged the control, combined
+        ("scavenge+aggrloop", b64,
+         e("--xla_tpu_scavenge_vmem_for_fusions=true "
+           "--xla_tpu_enable_aggressive_loop_fusion_layout_opt=true")),
+        ("b64-control-2", b64, e("")),  # repeat control: run-to-run drift
+        ("scavenge+aggrloop-2", b64,
+         e("--xla_tpu_scavenge_vmem_for_fusions=true "
+           "--xla_tpu_enable_aggressive_loop_fusion_layout_opt=true")),
         ("copy-bw-x2", b64,
          e("--xla_tpu_async_copy_bandwidth_scaling_factor=2.0")),
         ("copy-bw-x0.5", b64,

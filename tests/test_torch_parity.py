@@ -839,3 +839,128 @@ def test_torch_import_cli_roundtrip(ref_r21d, tmp_path):
         np.transpose(
             tmod.online_net.conv1.spatial_conv.weight.detach().numpy(),
             (2, 3, 4, 1, 0)))
+
+
+# ---------------------------------------------------------------------------
+# Exporter: Flax tree -> reference state_dict (export_torch_state_dict)
+# ---------------------------------------------------------------------------
+
+def test_torch_export_roundtrips_all_families(ref_r21d, ref_c3d, ref_r3d,
+                                              ref_s3d, ref_i3d):
+    """export(convert(sd)) reproduces every reference tensor under its
+    original name, and the exported dict loads into the REAL reference
+    modules with no unexpected keys (missing keys = the coclr-S3D blockN
+    Sequential aliases only, which share storage with the canonical names,
+    s3dg.py:181-230)."""
+    import re
+
+    from cstp_tpu.models.torch_import import (
+        convert_torch_state_dict,
+        export_torch_state_dict,
+    )
+
+    cases = [
+        ("r21d", ref_r21d.R2Plus1DNet(proj_flag=True)),
+        ("c3d", ref_c3d.C3D()),
+        ("r3d", ref_r3d.resnet18(shortcut_type="B", num_classes=4)),
+        ("s3d", ref_s3d.S3D(gating=True, proj_flag=True)),
+        ("i3d", ref_i3d.I3D(modality="rgb")),
+    ]
+    alias = re.compile(r"((online|target)_net\.)?block[1-5]\.")
+    for family, tnet in cases:
+        sd = tnet.state_dict()
+        out = export_torch_state_dict(
+            convert_torch_state_dict(sd, family), family)
+        for k, v in sd.items():
+            if k.endswith("num_batches_tracked") or (
+                    family == "s3d" and alias.match(k)):
+                continue
+            assert k in out, (family, k)
+            np.testing.assert_array_equal(out[k], v.detach().numpy(),
+                                          err_msg=f"{family}:{k}")
+        extra = set(out) - set(sd.keys())
+        assert not extra, (family, sorted(extra)[:5])
+        res = tnet.load_state_dict(
+            {k: torch.as_tensor(np.ascontiguousarray(v))
+             for k, v in out.items()}, strict=False)
+        assert not res.unexpected_keys, (family, res.unexpected_keys[:5])
+        missing = [k for k in res.missing_keys
+                   if not (family == "s3d" and alias.match(k))]
+        assert not missing, (family, missing[:5])
+
+
+def test_torch_export_full_stack_runs_in_reference(ref_r21d, tmp_path):
+    """save_torch_checkpoint writes a reference-format .pth that a FRESH
+    reference R21DBYOL loads STRICTLY and that reproduces the source
+    model's loss_com outputs — cstp_tpu checkpoints can be taken back to
+    the reference PyTorch stack (main_byol.py:134-140 blob layout)."""
+    from cstp_tpu.models.torch_import import (
+        convert_torch_state_dict,
+        save_torch_checkpoint,
+    )
+
+    src = ref_r21d.R21DBYOL(pretrain=True)
+    x1 = _make_input((2, 3, 8, 56, 56), seed=18)
+    x2 = _make_input((2, 3, 8, 56, 56), seed=19)
+    src.train()
+    with torch.no_grad():
+        src(torch.from_numpy(x1), torch.from_numpy(x2), o_type="loss_com")
+    src.eval()
+    # snapshot BEFORE the reference forward: R21DBYOL updates the target
+    # tower's EMA inside forward (r21d_byol.py:331-340), so the comparison
+    # forward below mutates state — dst must start from the same base
+    snap = {k: v.clone() for k, v in src.state_dict().items()}
+    with torch.no_grad():
+        want_loss, want_outs = src(torch.from_numpy(x1),
+                                   torch.from_numpy(x2), o_type="loss_com")
+
+    tree = convert_torch_state_dict(snap, "r21d_byol")
+    pth = str(tmp_path / "export.pth")
+    n = save_torch_checkpoint(pth, tree, "r21d_byol", epoch=7)
+    assert n > 100
+    blob = torch.load(pth, map_location="cpu", weights_only=True)
+    assert blob["epoch"] == 7 and blob["arch"] == "r21d_byol"
+    assert all(k.startswith("module.") for k in blob["state_dict"])
+
+    dst = ref_r21d.R21DBYOL(pretrain=True)
+    dst.load_state_dict(
+        {k[len("module."):]: v for k, v in blob["state_dict"].items()},
+        strict=True)
+    dst.eval()
+    with torch.no_grad():
+        got_loss, got_outs = dst(torch.from_numpy(x1), torch.from_numpy(x2),
+                                 o_type="loss_com")
+    np.testing.assert_allclose(float(got_loss.mean()), float(want_loss.mean()),
+                               rtol=1e-5, atol=1e-6)
+    for i, (g, w) in enumerate(zip(got_outs, want_outs)):
+        np.testing.assert_allclose(g.numpy(), w.numpy(), rtol=1e-5,
+                                   atol=1e-6, err_msg=f"head {i}")
+
+
+def test_torch_export_cli(ref_r21d, tmp_path):
+    """`torch_import --export ckpt_dir out.pth` round-trips through our
+    checkpoint directory format."""
+    import jax
+    import jax.numpy as jnp
+
+    from cstp_tpu.ckpt.checkpoint import save_checkpoint
+    from cstp_tpu.models import torch_import
+    from cstp_tpu.ssl.byol import CSTPPretrain
+
+    fmod = CSTPPretrain(backbone="r21d", depth=1, dtype=jnp.float32)
+    x = jnp.zeros((1, 4, 32, 32, 3), jnp.float32)
+    variables = _to_mutable(fmod.init(jax.random.PRNGKey(3), x, x,
+                                      train=False))
+    ckpt = tmp_path / "save_5"
+    save_checkpoint(str(ckpt), {"params": variables["params"],
+                                "batch_stats": variables["batch_stats"]},
+                    meta={"arch": "r21d_byol-1", "epoch": 5})
+    out = tmp_path / "save_5.pth"
+    torch_import.main(["--export", str(ckpt), str(out),
+                       "--arch", "r21d_byol"])
+    blob = torch.load(str(out), map_location="cpu", weights_only=True)
+    assert blob["epoch"] == 5
+    tmod = ref_r21d.R21DBYOL(pretrain=True)
+    tmod.load_state_dict(
+        {k[len("module."):]: v for k, v in blob["state_dict"].items()},
+        strict=True)
