@@ -24,8 +24,13 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-_LUMA = jnp.asarray([0.299, 0.587, 0.114], jnp.float32)  # PIL "L" weights
+# Module-level constants are NUMPY, not jnp: a jnp.asarray at import time
+# initializes the default JAX backend as a side effect of merely importing
+# this module (observed hanging CLI starts on a dead tunneled-TPU backend).
+# Under jit these fold to identical on-device constants.
+_LUMA = np.asarray([0.299, 0.587, 0.114], np.float32)  # PIL "L" weights
 
 
 # ---------------------------------------------------------------------------
@@ -282,8 +287,8 @@ def tf_normalize(clip):
     return jnp.clip(clip / 255.0 * 2.0 - 1.0, -1.0, 1.0)
 
 
-_IMAGENET_MEAN = jnp.asarray([0.485, 0.456, 0.406], jnp.float32)
-_IMAGENET_STD = jnp.asarray([0.229, 0.224, 0.225], jnp.float32)
+_IMAGENET_MEAN = np.asarray([0.485, 0.456, 0.406], np.float32)
+_IMAGENET_STD = np.asarray([0.229, 0.224, 0.225], np.float32)
 
 
 def normalize_clip(clip, method: str = "tf"):

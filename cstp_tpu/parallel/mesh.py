@@ -31,6 +31,28 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 _DIST_INITIALIZED = False
 
 
+def honor_platform_env() -> None:
+    """Make ``JAX_PLATFORMS`` from the environment actually win.
+
+    Some hosted environments register an out-of-tree PJRT backend from
+    ``sitecustomize`` and override the platform list via
+    ``jax.config.update('jax_platforms', ...)`` — which silently takes
+    precedence over the ``JAX_PLATFORMS`` env var a user sets to force a
+    local run (observed: ``JAX_PLATFORMS=cpu`` CLI runs hanging forever on
+    a dead tunneled-TPU claim). Every CLI calls this before any backend
+    initialization: if the env var is set and no backend is live yet, push
+    its value back into jax.config so the env var means what it says.
+    """
+    want = os.environ.get("JAX_PLATFORMS")
+    if not want:
+        return
+    try:
+        if jax.config.jax_platforms != want:
+            jax.config.update("jax_platforms", want)
+    except Exception:
+        pass  # too late (backend already initialized) or unknown config
+
+
 def maybe_initialize_distributed() -> bool:
     """Multi-host rendezvous — the ``dist.init_process_group(init_method=
     'env://')`` equivalent (reference main_byol.py:171-174).
@@ -55,6 +77,7 @@ def maybe_initialize_distributed() -> bool:
     per-host (loader shards by process_index) and collectives ride ICI/DCN.
     """
     global _DIST_INITIALIZED
+    honor_platform_env()
     if _DIST_INITIALIZED:
         return False
     coord = os.environ.get("CSTP_COORDINATOR") or os.environ.get(

@@ -108,3 +108,22 @@ def test_loader_shards_disjoint_and_global_batch_math():
         seen[-1] = set(perm.tolist())
     assert seen[0].isdisjoint(seen[1])
     assert len(seen[0] | seen[1]) == 16
+
+
+def test_honor_platform_env_pushes_env_var_into_config(monkeypatch):
+    """JAX_PLATFORMS in the environment must win over a sitecustomize-style
+    ``jax.config.update('jax_platforms', ...)`` override (the hosted dev box
+    registers a tunneled-TPU backend that way; a user's JAX_PLATFORMS=cpu
+    must still force a local run — otherwise CLI runs hang on a dead
+    tunnel claim instead of running on CPU)."""
+    import jax
+
+    from cstp_tpu.parallel.mesh import honor_platform_env
+
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+    honor_platform_env()
+    assert jax.config.jax_platforms == "cpu"
+    # unset env -> no-op, existing config untouched
+    monkeypatch.delenv("JAX_PLATFORMS")
+    honor_platform_env()
+    assert jax.config.jax_platforms == "cpu"
