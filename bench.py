@@ -60,12 +60,15 @@ def main():
                     help="backbone family (r21d|c3d|r3d|s3d|i3d)")
     ap.add_argument("--depth", type=int, default=1)
     ap.add_argument("--mode", default="pretrain",
-                    choices=["pretrain", "ft", "eval"],
+                    choices=["pretrain", "ft", "eval", "serve"],
                     help="ft = supervised finetune step (1 tower + CE); "
                          "eval = inference/serving path (deterministic "
                          "scale+center-crop + eval-mode forward — the "
                          "video-level test step, train/finetune.py "
-                         "make_eval_step)")
+                         "make_eval_step); serve = the SAME computation "
+                         "through the AOT serving artifact (jax.export, "
+                         "cstp_tpu/serve) — measures deployment-path "
+                         "overhead vs live jit (single chip)")
     ap.add_argument("--e2e", action="store_true",
                     help="sustained loader->prefetch->step throughput: "
                          "drives PretrainLoader over a RAW CSTPack shard "
@@ -123,7 +126,7 @@ def main():
     mesh = create_mesh(cfg.mesh_shape, cfg.mesh_axes)
     rng = np.random.default_rng(0)
     b, t, h0, w0 = cfg.batch_size, cfg.sample_duration, 128, 171
-    if args.mode in ("ft", "eval"):
+    if args.mode in ("ft", "eval", "serve"):
         import dataclasses
 
         from cstp_tpu.train.finetune import (
@@ -136,8 +139,31 @@ def main():
         model, state, tx = create_finetune_state(
             cfg, jax.random.PRNGKey(0), cfg.n_finetune_classes)
         state = shard_state(mesh, state)
-        step = (make_eval_step(model, cfg) if args.mode == "eval"
-                else make_finetune_step(model, tx, cfg))
+        if args.mode == "serve":
+            # the deployment path: export the fused augment+forward+weights
+            # as a StableHLO artifact and time the DESERIALIZED program.
+            # Lower for the live backend's platform; the tunneled dev
+            # backend may report a non-canonical name, so map to 'tpu' and
+            # drop the call-time platform check in that case.
+            from cstp_tpu.serve import ServingModel, export_serving_artifact
+
+            plat = jax.devices()[0].platform
+            canonical = plat in ("cpu", "tpu", "cuda", "rocm")
+            art = export_serving_artifact(
+                model, state.params, state.batch_stats,
+                num_classes=cfg.n_finetune_classes,
+                sample_size=cfg.sample_size,
+                sample_duration=cfg.sample_duration, input_hw=(h0, w0),
+                platforms=(plat if canonical else "tpu",),
+                check_platform=canonical,
+            )
+            log(f"serve: artifact {len(art)/1e6:.1f} MB "
+                f"(platform {'native ' + plat if canonical else 'tpu, check off'})")
+            served = ServingModel.load(art)
+            step = served
+        else:
+            step = (make_eval_step(model, cfg) if args.mode == "eval"
+                    else make_finetune_step(model, tx, cfg))
 
         def make_batch():
             return shard_batch(mesh, {
@@ -173,7 +199,8 @@ def main():
     # eval mode: the state never changes between steps, so the tunnel relay
     # would memoize repeated executions — stage one DISTINCT batch per step
     n_batches = (0 if args.e2e
-                 else n_steps + args.warmup if args.mode == "eval" else 3)
+                 else n_steps + args.warmup
+                 if args.mode in ("eval", "serve") else 3)
     batches = [make_batch() for _ in range(n_batches)]
     fkey = "frames1" if args.mode == "pretrain" else "frames"
     for bt in batches:
@@ -235,6 +262,23 @@ def main():
                 dt = time.perf_counter() - t0
         finally:
             shutil.rmtree(tmpd, ignore_errors=True)
+    elif args.mode == "serve":
+        # time the deserialized StableHLO program on pre-staged device
+        # batches; scalar-sum chain forces completion (tunnel memoization /
+        # unreliable block_until_ready — same discipline as eval mode).
+        # _exported.call directly: ServingModel.predict's np.asarray would
+        # add a full logits D2H fetch per step to the timed loop.
+        call = step._exported.call
+        tot = jnp.zeros((), jnp.float32)
+        for i in range(args.warmup):
+            tot = tot + call(batches[n_steps + i]["frames"]).sum()
+        _ = float(tot)
+        with profiling.trace(args.profile_dir):
+            t0 = time.perf_counter()
+            for i in range(n_steps):
+                tot = tot + call(batches[i]["frames"]).sum()
+            _ = float(tot)
+            dt = time.perf_counter() - t0
     elif args.mode == "eval":
         tot = jnp.zeros((), jnp.float32)  # scalar chain = real sync at fetch
         for i in range(args.warmup):
@@ -308,7 +352,8 @@ def main():
             log("aug cost:", json.dumps(profiling.summarize(
                 aug_cost, step_s), default=str, indent=2))
 
-    mode_name = {"ft": "finetune", "eval": "eval"}.get(args.mode, "pretrain")
+    mode_name = {"ft": "finetune", "eval": "eval",
+                 "serve": "serve"}.get(args.mode, "pretrain")
     print(json.dumps({
         "metric": f"{mode_name}"
                   f"{'_e2e' if args.e2e else ''}"

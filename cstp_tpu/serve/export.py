@@ -43,7 +43,8 @@ _META_NAME = "meta.json"
 
 def _export_forward(model, params, batch_stats, *, sample_size: int,
                     sample_duration: int, input_hw: Tuple[int, int],
-                    norm_method: str, platforms: Sequence[str]):
+                    norm_method: str, platforms: Sequence[str],
+                    check_platform: bool = True):
     """jax.export the fused augment+forward with a symbolic batch dim."""
     import jax
     import jax.numpy as jnp
@@ -61,8 +62,10 @@ def _export_forward(model, params, batch_stats, *, sample_size: int,
     (b,) = jax.export.symbolic_shape("b")
     h0, w0 = input_hw
     spec = jax.ShapeDtypeStruct((b, sample_duration, h0, w0, 3), jnp.uint8)
-    return jax.export.export(jax.jit(forward),
-                             platforms=list(platforms))(spec)
+    disabled = () if check_platform else (
+        jax.export.DisabledSafetyCheck.platform(),)
+    return jax.export.export(jax.jit(forward), platforms=list(platforms),
+                             disabled_checks=list(disabled))(spec)
 
 
 def export_serving_artifact(model, params, batch_stats, *,
@@ -71,18 +74,23 @@ def export_serving_artifact(model, params, batch_stats, *,
                             input_hw: Tuple[int, int] = (128, 171),
                             norm_method: str = "tf",
                             platforms: Sequence[str] = ("cpu", "tpu"),
-                            extra_meta: Optional[Dict] = None) -> bytes:
+                            extra_meta: Optional[Dict] = None,
+                            check_platform: bool = True) -> bytes:
     """Serialize (augment + eval forward + weights) to artifact bytes.
 
     ``model`` is a built ``CSTPClassify``; ``params``/``batch_stats`` its
     trained variables. ``input_hw`` is the stored frame geometry the server
     will receive (the eval transform rescales from it, so it is part of the
-    traced program and fixed per artifact).
+    traced program and fixed per artifact). ``check_platform=False`` drops
+    the call-time platform safety check — needed when the serving runtime's
+    PJRT plugin reports a platform name outside jax.export's canonical set
+    (e.g. a tunneled/proxied TPU).
     """
     exported = _export_forward(
         model, params, batch_stats, sample_size=sample_size,
         sample_duration=sample_duration, input_hw=tuple(input_hw),
         norm_method=norm_method, platforms=platforms,
+        check_platform=check_platform,
     )
     meta = {
         "artifact_version": ARTIFACT_VERSION,
