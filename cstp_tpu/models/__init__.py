@@ -197,3 +197,14 @@ def _slowfast_spec(depth: int) -> BackboneSpec:
 # docs/SLOWFAST.md); 'slowfast' is the friendly alias.
 register_backbone("slowfast", _slowfast_ctor, _slowfast_spec)
 register_backbone("slowfast_fb", _slowfast_ctor, _slowfast_spec)
+
+
+def __getattr__(name):
+    # Lazy re-export: the legacy pace-era zoo (models/legacy.py) is not part
+    # of the live BYOL registry (nothing in the reference's factory
+    # dispatches it) but IS part of the public API for component parity.
+    if name == "make_legacy_model":
+        from cstp_tpu.models.legacy import make_legacy_model
+
+        return make_legacy_model
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

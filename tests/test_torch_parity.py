@@ -16,6 +16,11 @@ import numpy as np
 import pytest
 
 torch = pytest.importorskip("torch")
+# Multi-threaded torch CPU reductions split work by a runtime heuristic, so
+# their accumulation order (and thus low bits) can vary run-to-run under
+# host load; observed pushing the 3-step trajectory comparison past its
+# 5e-3 tolerance. Pin the reference side to one thread for bit-stability.
+torch.set_num_threads(1)
 
 REF = "/root/reference"
 
@@ -647,10 +652,13 @@ def test_r21d_training_trajectory_matches_torch(ref_r21d,
                           opt_state=tx.init(p))
 
     # ---- torch side: the reference training loop, verbatim semantics
+    import copy
+
     opt = torch.optim.SGD(
         [q for q in tmod.parameters() if q.requires_grad],
         lr=LR, momentum=0.9, weight_decay=5e-4)
     tlosses = []
+    tmod_step1 = None
     for x1, x2 in views:
         byol, (p_spa, p_tem, p_pb1, p_pb2, p_rot1, p_rot2) = tmod(
             torch.from_numpy(x1), torch.from_numpy(x2), o_type="loss_com")
@@ -666,11 +674,14 @@ def test_r21d_training_trajectory_matches_torch(ref_r21d,
         torch.nn.utils.clip_grad_norm_(tmod.parameters(), 18)
         opt.step()
         tlosses.append(float(total))
+        if tmod_step1 is None:
+            tmod_step1 = copy.deepcopy(tmod)
 
     # ---- our side: same weights, same batches, jitted fused step
     step = make_preaugmented_step(model, tx, cfg)
     lr = jnp.asarray(LR, jnp.float32)
     jlosses = []
+    jax_step1 = None
     for x1, x2 in views:
         batch = {
             "view1": jnp.asarray(np.transpose(x1, (0, 2, 3, 4, 1))),
@@ -683,8 +694,49 @@ def test_r21d_training_trajectory_matches_torch(ref_r21d,
         }
         state, metrics = step(state, batch, lr)
         jlosses.append(float(metrics["loss"]))
+        if jax_step1 is None:
+            # the jitted step donates its input state, so step 2 would
+            # delete these buffers — materialize to host numpy now
+            jax_step1 = jax.tree.map(
+                lambda a: np.array(a, copy=True),
+                {"params": state.params, "batch_stats": state.batch_stats})
 
-    np.testing.assert_allclose(jlosses, tlosses, rtol=5e-3, atol=5e-3)
+    # Parameter-space check after ONE step — the sharp evidence. Grad,
+    # clip-18, SGD(momentum, wd), EMA, and BN running-stat updates all land
+    # in the post-step-1 weights, and one step leaves no room for chaotic
+    # amplification: every leaf must agree to float noise.
+    torch_step1 = _to_mutable(copy.deepcopy(jax_step1))
+    tp, ts = torch_step1["params"], torch_step1["batch_stats"]
+    _r21d_into(tp["online_net"], ts["online_net"], tmod_step1.online_net)
+    _r21d_into(tp["target_net"], ts["target_net"], tmod_step1.target_net)
+    _mlp_into(tp["predictor"], ts["predictor"], tmod_step1.predictor.net)
+    for name, tseq in (("overlap_spa", tmod_step1.overlap_spa),
+                       ("overlap_tem", tmod_step1.overlap_tem),
+                       ("pb_cls", tmod_step1.pb_cls),
+                       ("rotate_cls", tmod_step1.rotate_cls)):
+        _mlp_into(tp[name]["mlp"], ts[name]["mlp"], tseq)
+    # params only: BN RUNNING aggregates deviate by design (PARITY.md —
+    # grouped BN folds both views into ONE running update of their mean,
+    # torch applies TWO sequential updates; ratio ~1.9 from momentum 0.1).
+    # Running stats never feed the train-mode forward, so the loss
+    # trajectory below is blind to them.
+    # atol 2e-4: observed cross-framework float noise after one step is
+    # ~6e-5 (f32 BN-variance cancellation amplified through backward); a
+    # semantic bug (wrong momentum/wd/EMA/clip) shifts params by >=1e-3.
+    jax.tree_util.tree_map_with_path(
+        lambda path, j, t: np.testing.assert_allclose(
+            np.asarray(j), np.asarray(t), rtol=5e-3, atol=2e-4,
+            err_msg=jax.tree_util.keystr(path)),
+        jax_step1["params"], torch_step1["params"])
+
+    # Loss-trajectory check with step-scaled tolerances. The divergence of
+    # two float32 implementations grows ~exponentially with optimizer steps
+    # (chaotic amplification): empirically, torch's OWN step-3 loss moves by
+    # ~0.7% merely from its CPU thread count (single- vs multi-threaded
+    # reduction order), so a flat 5e-3 at step 3 asserted luck, not parity.
+    for i, (rt, at) in enumerate([(1e-4, 1e-4), (2e-3, 2e-3), (2e-2, 2e-2)]):
+        np.testing.assert_allclose(jlosses[i], tlosses[i], rtol=rt, atol=at,
+                                   err_msg=f"loss at step {i + 1}")
 
 
 def test_r21d_ft_fc_training_trajectory_matches_torch(ref_r21d,
