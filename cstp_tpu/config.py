@@ -91,6 +91,9 @@ class Config:
     cls_bn: bool = True
     legacy_pace: int = 0           # bare 'r21d' ft: CE over the 512-d pace
     # Projector output, the reference's live dispatch (models/model.py:41-43)
+    i3d_conv_head: int = 0         # i3d ft: the reference's internal
+    # AvgPool(2,7,7)+conv(7,1,1) classifier (i3d_byol.py:295-306) instead of
+    # the generic L2norm/BN/linear head — requires sample_size 224
 
     # ---- TPU-native knobs (no reference equivalent) ----
     mesh_shape: Tuple[int, ...] = (-1, 1)   # (data, model); -1 = all remaining
@@ -296,6 +299,7 @@ def _add_args(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--fused_conv", default=c.fused_conv, type=int)
     parser.add_argument("--mid_round", default=c.mid_round, type=int)
     parser.add_argument("--legacy_pace", default=c.legacy_pace, type=int)
+    parser.add_argument("--i3d_conv_head", default=c.i3d_conv_head, type=int)
     parser.add_argument("--ckpt_every_epochs", default=c.ckpt_every_epochs, type=int)
     parser.add_argument("--log_every", default=c.log_every, type=int)
     parser.add_argument("--profile_dir", default=c.profile_dir, type=str)

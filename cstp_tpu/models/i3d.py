@@ -86,16 +86,22 @@ class Mixed(nn.Module):
 class I3D(nn.Module):
     """1024-d pooled feature extractor (i3d_byol.py:223-426, RGB modality).
 
-    The reference finetune variant classifies with an internal
-    AvgPool(2,7,7) + temporal conv head that requires 224^2 inputs
-    (i3d_byol.py:295-306); our CSTPClassify applies the generic
-    L2-norm/BN/linear head on this pooled feature instead — functionally a
-    linear classifier either way (documented deviation).
-    """
+    ``conv_head=True`` rebuilds the reference finetune classifier exactly
+    (i3d_byol.py:295-306, forward 405-412): AvgPool3d((2,7,7), stride 1) →
+    Dropout(p=0; the factory never sets dropout_prob) → Unit3Dpy
+    1024→num_classes with kernel (7,1,1), SAME padding, no bias/BN/act →
+    squeeze spatial → mean over T. The (2,7,7) window plus the double
+    ``squeeze(3)`` hard-require a 7×7 final map, i.e. 224² inputs (and
+    T ≥ 16) — the reference crashes on anything else. Without the flag,
+    CSTPClassify applies the generic L2-norm/BN/linear head on the pooled
+    feature instead — works at any input size (documented deviation,
+    PARITY.md)."""
 
     dtype: Any = jnp.bfloat16
     bn_groups: int = 1
     proj_flag: bool = False  # parity; BYOL uses the raw normalized feature
+    conv_head: bool = False  # faithful reference classifier (224^2 only)
+    num_classes: int = 0     # used only with conv_head
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -128,4 +134,19 @@ class I3D(nn.Module):
                   name="mixed_5b")(x, train)
         x = Mixed([384, 192, 384, 48, 128, 128], dtype=self.dtype, bn_groups=self.bn_groups,
                   name="mixed_5c")(x, train)
+        if self.conv_head:
+            if x.shape[1] < 2 or x.shape[2] != 7 or x.shape[3] != 7:
+                raise ValueError(
+                    "i3d conv_head (the reference classifier) requires a "
+                    "(T>=2, 7, 7) final feature map — i.e. sample_size 224 "
+                    f"and sample_duration >= 16; got map {x.shape[1:4]}. "
+                    "Use the generic head (--i3d_conv_head 0) for other "
+                    "input sizes.")
+            x = nn.avg_pool(x, (2, 7, 7), (1, 1, 1), "VALID")
+            x = Unit3D(self.num_classes, (7, 1, 1), use_bn=False,
+                       activation=False, dtype=self.dtype,
+                       name="conv3d_0c_1x1_custom")(x, train)
+            # spatial dims are exactly 1 here; torch squeezes them then
+            # means over T (i3d_byol.py:409-411)
+            return jnp.mean(x.astype(jnp.float32), axis=(1, 2, 3))
         return jnp.mean(x.astype(jnp.float32), axis=(1, 2, 3))  # (B, 1024)

@@ -247,12 +247,21 @@ class CSTPClassify(nn.Module):
             extra["fused_conv"] = True
         if self.mid_round > 1 and self.backbone.startswith("r21d"):
             extra["mid_round"] = self.mid_round
+        if self.head_style == "i3d_conv":
+            # the faithful reference i3d classifier lives INSIDE the
+            # backbone (I3D conv_head; i3d_byol.py:295-306) — no external
+            # classify/cls_bn modules
+            assert self.backbone.startswith("i3d"), self.backbone
+            extra["conv_head"] = True
+            extra["num_classes"] = self.num_classes
         self.online_net = make_backbone(
             self.backbone, self.depth, dtype=self.dtype, proj_flag=False,
             bn_groups=self.bn_groups, shortcut=self.shortcut,
             s2d_stem=self.s2d_stem,
             name="online_net", **extra,
         )
+        if self.head_style == "i3d_conv":
+            return
         if self.head_style == "mlp":
             self.classify = MLPHead(spec.feat_dim, self.num_classes,
                                     dtype=self.dtype,
@@ -277,6 +286,8 @@ class CSTPClassify(nn.Module):
         )
 
     def __call__(self, x, train: bool = True):
+        if self.head_style == "i3d_conv":
+            return self.online_net(x, train)  # logits from the internal head
         feat, _ = _feat_and_proj(self.online_net(x, train), self.spec)
         if self.head_style == "mlp":
             return self.classify(feat, train).astype(jnp.float32)

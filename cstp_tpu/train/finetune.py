@@ -33,6 +33,10 @@ def create_classify_model(config: Config, num_classes: int) -> CSTPClassify:
     # selects the standalone MLP classifier head instead of the BYOL-family
     # l2norm->BN->linear finetune head.
     head_style = "mlp" if config.model_name.endswith("_classify") else "linear"
+    if config.i3d_conv_head and config.model_name.startswith("i3d"):
+        # reference i3d ft head: the classifier lives inside the backbone
+        # (I3D conv_head, i3d_byol.py:295-306) — 224^2 inputs only
+        head_style = "i3d_conv"
     if config.legacy_pace and config.model_name == "r21d":
         # reference live dispatch of the bare name: pace R2Plus1DNet with
         # linear_flag='project' — CE over the 512-d Projector output
@@ -78,6 +82,18 @@ def finetune_frozen_prefixes(config: Config) -> Tuple[str, ...]:
     if idx == 0:
         return ()
     if idx >= 5:
+        if config.i3d_conv_head and config.model_name.startswith("i3d"):
+            # the i3d_conv classifier lives INSIDE online_net — freeze the
+            # backbone stages, not the head. (The reference's own
+            # get_fine_tuning_parameters searches for 'layer{i}'/'fc'
+            # substrings that exist on no i3d module, so its ft_fc freezes
+            # EVERYTHING including the classifier, i3d_byol.py:17-37 — a
+            # bug; this implements the documented intent.)
+            stages = ("conv3d_1a_7x7", "conv3d_2b_1x1", "conv3d_2c_3x3",
+                      "mixed_3b", "mixed_3c", "mixed_4b", "mixed_4c",
+                      "mixed_4d", "mixed_4e", "mixed_4f", "mixed_5b",
+                      "mixed_5c")
+            return tuple(f"online_net/{s}" for s in stages)
         return ("online_net", "cls_bn")
     # freeze stem + stages below layer{idx}
     frozen = ["online_net/conv1", "online_net/bn1", "cls_bn"]

@@ -269,6 +269,39 @@ def test_r21d_s2d_stem_is_exact(key):
                                rtol=1e-5, atol=1e-5)
 
 
+def test_i3d_conv_head_flag(key):
+    """--i3d_conv_head 1 builds the reference's internal i3d classifier
+    (AvgPool(2,7,7)+conv(7,1,1) inside the backbone, i3d_byol.py:295-306)
+    instead of the generic l2norm/BN/linear head, and ft_fc freezing then
+    targets the backbone stages rather than all of online_net."""
+    import jax
+
+    from cstp_tpu.train.finetune import (
+        create_classify_model,
+        finetune_frozen_prefixes,
+    )
+
+    cfg = Config(model_name="i3d_byol", i3d_conv_head=1, sample_size=224,
+                 sample_duration=16, compute_dtype="float32",
+                 task="ft_fc").finalize()
+    model = create_classify_model(cfg, num_classes=7)
+    x = jnp.zeros((1, 16, 224, 224, 3), jnp.float32)
+    shapes = jax.eval_shape(lambda k, a: model.init(k, a, train=False),
+                            key, x)
+    p = shapes["params"]
+    assert "classify" not in p and "cls_bn" not in p
+    head = p["online_net"]["conv3d_0c_1x1_custom"]["conv"]["kernel"]
+    assert head.shape == (7, 1, 1, 1024, 7)
+    out = jax.eval_shape(lambda v, a: model.apply(v, a, train=False),
+                         shapes, x)
+    assert out.shape == (1, 7)
+
+    frozen = finetune_frozen_prefixes(cfg)
+    assert "online_net" not in frozen  # the head must stay trainable
+    assert "online_net/mixed_5c" in frozen
+    assert all(not f.endswith("conv3d_0c_1x1_custom") for f in frozen)
+
+
 def test_tpu_vmem_tuning_env(monkeypatch):
     """apply_tpu_tuning appends the scoped-vmem flag unless the user set it
     (or disabled with 0)."""

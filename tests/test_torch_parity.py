@@ -471,6 +471,60 @@ def test_i3d_backbone_forward_matches_torch(ref_i3d):
                                rtol=3e-4, atol=3e-4)
 
 
+def test_i3d_conv_head_matches_torch(ref_i3d):
+    """The faithful i3d finetune classifier (--i3d_conv_head): the reference
+    ft variant I3D(with_classifier=True) — AvgPool3d((2,7,7),1) →
+    Unit3Dpy(1024→nc, kernel (7,1,1), SAME, no bias/BN/act) → squeeze →
+    mean over T (i3d_byol.py:295-306, 405-412). 224² is the only input size
+    the reference head accepts."""
+    import types
+
+    import jax
+    import jax.numpy as jnp
+
+    from cstp_tpu.models.i3d import I3D
+
+    NC = 7
+    tmod = ref_i3d.I3DBYOL(pretrain=False,
+                           opts=types.SimpleNamespace(n_classes=NC))
+    tnet = tmod.online_net
+    x = _make_input((1, 3, 16, 224, 224), seed=11)
+    _warm_bn_stats(tnet, x, steps=1)
+    tnet.eval()
+    with torch.no_grad():
+        tout = tmod(torch.from_numpy(x), o_type="test")
+    assert tout.shape == (1, NC)
+
+    fnet = I3D(dtype=jnp.float32, conv_head=True, num_classes=NC)
+    xj = jnp.asarray(np.transpose(x, (0, 2, 3, 4, 1)))
+    variables = _to_mutable(fnet.init(jax.random.PRNGKey(0), xj, train=False))
+    p, s = variables["params"], variables["batch_stats"]
+    for u in ("conv3d_1a_7x7", "conv3d_2b_1x1", "conv3d_2c_3x3"):
+        _unit_into(p[u], s[u], getattr(tnet, u))
+    for m in ("mixed_3b", "mixed_3c", "mixed_4b", "mixed_4c", "mixed_4d",
+              "mixed_4e", "mixed_4f", "mixed_5b", "mixed_5c"):
+        _i3d_mixed_into(p[m], s[m], getattr(tnet, m))
+    p["conv3d_0c_1x1_custom"]["conv"]["kernel"] = _t2j_conv(
+        tnet.conv3d_0c_1x1_custom.conv3d.weight)
+    out = fnet.apply(variables, xj, train=False)
+    np.testing.assert_allclose(np.asarray(out), tout.numpy(),
+                               rtol=3e-4, atol=3e-4)
+
+
+def test_i3d_conv_head_rejects_non_224_inputs():
+    """The reference head crashes on non-224² inputs (squeeze(3) of a >1
+    spatial dim); ours refuses loudly at trace time."""
+    import jax
+    import jax.numpy as jnp
+
+    from cstp_tpu.models.i3d import I3D
+
+    fnet = I3D(dtype=jnp.float32, conv_head=True, num_classes=5)
+    with pytest.raises(ValueError, match="224"):
+        fnet.init(jax.random.PRNGKey(0),
+                  jnp.zeros((1, 16, 112, 112, 3), jnp.float32), train=False)
+
+
 # ---------------------------------------------------------------------------
 # Production .pth importer (cstp_tpu/models/torch_import.py)
 # ---------------------------------------------------------------------------
@@ -925,6 +979,7 @@ def test_torch_export_roundtrips_all_families(ref_r21d, ref_c3d, ref_r3d,
     Sequential aliases only, which share storage with the canonical names,
     s3dg.py:181-230)."""
     import re
+    import types
 
     from cstp_tpu.models.torch_import import (
         convert_torch_state_dict,
@@ -937,6 +992,9 @@ def test_torch_export_roundtrips_all_families(ref_r21d, ref_c3d, ref_r3d,
         ("r3d", ref_r3d.resnet18(shortcut_type="B", num_classes=4)),
         ("s3d", ref_s3d.S3D(gating=True, proj_flag=True)),
         ("i3d", ref_i3d.I3D(modality="rgb")),
+        # the ft variant with the internal conv classifier (--i3d_conv_head)
+        ("i3d", ref_i3d.I3DBYOL(
+            pretrain=False, opts=types.SimpleNamespace(n_classes=6))),
     ]
     alias = re.compile(r"((online|target)_net\.)?block[1-5]\.")
     for family, tnet in cases:
