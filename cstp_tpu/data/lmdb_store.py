@@ -54,6 +54,42 @@ def _even(n: int) -> int:
     return (n + 1) & ~1
 
 
+def _max_inline_size(psize: int) -> int:
+    """Inline-node cutoff: liblmdb's is roughly psize/2 minus overhead —
+    anything bigger goes to overflow pages. Single-sourced so the bulk
+    writer, the transactional writer, and the freelist chunker agree."""
+    return (psize - PAGEHDRSZ) // 2 - 16
+
+
+def _assemble_page(psize: int, pgno: int, flags: int,
+                   node_bytes: List[bytes]) -> bytearray:
+    """Assemble a branch/leaf page: ptr array at the front (key order),
+    node bodies packed downward from the page end. The one place the
+    on-disk page layout is encoded for BOTH writers."""
+    buf = bytearray(psize)
+    upper = psize
+    ptrs = []
+    for nb in node_bytes:
+        upper -= _even(len(nb))
+        buf[upper : upper + len(nb)] = nb
+        ptrs.append(upper)
+    lower = PAGEHDRSZ + 2 * len(node_bytes)
+    assert lower <= upper, "page overflow"
+    struct.pack_into("<QHHHH", buf, 0, pgno, 0, flags, lower, upper)
+    struct.pack_into(f"<{len(ptrs)}H", buf, PAGEHDRSZ, *ptrs)
+    return buf
+
+
+def _overflow_blob(psize: int, ov_pgno: int, val: bytes) -> bytearray:
+    """Encode a value as an F_BIGDATA overflow-page run starting at
+    ``ov_pgno`` (header carries the page count)."""
+    npages = (len(val) + PAGEHDRSZ + psize - 1) // psize
+    blob = bytearray(npages * psize)
+    struct.pack_into("<QHHI", blob, 0, ov_pgno, 0, P_OVERFLOW, npages)
+    blob[PAGEHDRSZ : PAGEHDRSZ + len(val)] = val
+    return blob
+
+
 class _Db:
     __slots__ = ("pad", "flags", "depth", "branch_pages", "leaf_pages",
                  "overflow_pages", "entries", "root")
@@ -231,34 +267,16 @@ def write_lmdb(path: str, items: Dict[bytes, bytes],
         return p
 
     def page_bytes(pgno: int, flags: int, nodes: List[bytes]) -> bytes:
-        """Assemble a branch/leaf page: ptr array at the front (key order),
-        node bodies packed downward from the page end."""
-        buf = bytearray(psize)
-        upper = psize
-        ptrs = []
-        for node in nodes:
-            upper -= _even(len(node))
-            buf[upper : upper + len(node)] = node
-            ptrs.append(upper)
-        lower = PAGEHDRSZ + 2 * len(nodes)
-        assert lower <= upper, "page overflow"
-        struct.pack_into("<QHHHH", buf, 0, pgno, 0, flags, lower, upper)
-        struct.pack_into(f"<{len(ptrs)}H", buf, PAGEHDRSZ, *ptrs)
-        return bytes(buf)
+        return bytes(_assemble_page(psize, pgno, flags, nodes))
 
-    # an inline node must fit a page comfortably; liblmdb's cutoff is
-    # roughly psize/2 minus overhead — anything bigger goes to overflow
-    max_inline = (psize - PAGEHDRSZ) // 2 - 16
+    max_inline = _max_inline_size(psize)
 
     def leaf_node(key: bytes, val: bytes) -> bytes:
         if 8 + len(key) + len(val) > max_inline:
             npages = (len(val) + PAGEHDRSZ + psize - 1) // psize
             ov = alloc(npages)
             stats["overflow"] += npages
-            blob = bytearray(npages * psize)
-            struct.pack_into("<QHHI", blob, 0, ov, 0, P_OVERFLOW, npages)
-            blob[PAGEHDRSZ : PAGEHDRSZ + len(val)] = val
-            pages[ov] = bytes(blob)
+            pages[ov] = bytes(_overflow_blob(psize, ov, val))
             body = struct.pack("<HHHH", len(val) & 0xFFFF, len(val) >> 16,
                                F_BIGDATA, len(key)) + key + struct.pack("<Q", ov)
         else:
@@ -551,21 +569,10 @@ class _WriteTxn:
         return bytes(d) if d is not None else self.env._read_page(pgno)
 
     def _write_nodes(self, pgno: int, flags: int, nodes) -> None:
-        psize = self.env.psize
-        buf = bytearray(psize)
-        upper = psize
-        ptrs = []
         is_branch = bool(flags & P_BRANCH)
-        for node in nodes:
-            nb = _node_bytes(node, is_branch)
-            upper -= _even(len(nb))
-            buf[upper : upper + len(nb)] = nb
-            ptrs.append(upper)
-        lower = PAGEHDRSZ + 2 * len(nodes)
-        assert lower <= upper, "page overflow"
-        struct.pack_into("<QHHHH", buf, 0, pgno, 0, flags, lower, upper)
-        struct.pack_into(f"<{len(ptrs)}H", buf, PAGEHDRSZ, *ptrs)
-        self.dirty[pgno] = buf
+        self.dirty[pgno] = _assemble_page(
+            self.env.psize, pgno, flags,
+            [_node_bytes(n, is_branch) for n in nodes])
 
     def _touch(self, pgno: int) -> int:
         """COW: pages created before this txn are copied to a new pgno and
@@ -581,16 +588,14 @@ class _WriteTxn:
     # -- B+tree mutation ----------------------------------------------------
 
     def _max_inline(self) -> int:
-        return (self.env.psize - PAGEHDRSZ) // 2 - 16
+        return _max_inline_size(self.env.psize)
 
     def _make_leaf_node(self, key: bytes, val: bytes) -> dict:
         psize = self.env.psize
         if 8 + len(key) + len(val) > self._max_inline():
             npg = (len(val) + PAGEHDRSZ + psize - 1) // psize
             ov = self._alloc(npg, from_reuse=False)
-            blob = bytearray(npg * psize)
-            struct.pack_into("<QHHI", blob, 0, ov, 0, P_OVERFLOW, npg)
-            blob[PAGEHDRSZ : PAGEHDRSZ + len(val)] = val
+            blob = _overflow_blob(psize, ov, val)
             for i in range(npg):
                 self.dirty[ov + i] = blob[i * psize : (i + 1) * psize]
             self.main["overflow"] += npg
@@ -780,12 +785,40 @@ class _WriteTxn:
                    "branch": 0, "leaf": 0, "overflow": 0}
         fpages = []
         if env.free_entries:
-            items = []
+            # liblmdb caps each freelist node at the inline-node limit and
+            # saves long IDLs as multiple chunks under adjacent txnid keys
+            # (mdb_freelist_save); mirror that so one txn freeing hundreds+
+            # of pages (bulk deletes, large-value overwrites) never
+            # overflows a leaf node in _write_nodes. Chunk keys only need
+            # to be unique within this rebuild — the whole free DB is
+            # consumed and rewritten by the next commit.
+            max_pgs = max((self._max_inline() - 24) // 8, 1)
+            used = set()
+
+            def chunk_keys(t):
+                k = t
+                while k >= 1:
+                    if k not in used:
+                        yield k
+                    k -= 1
+                k = t + 1
+                while True:
+                    if k not in used:
+                        yield k
+                    k += 1
+
+            keyed = []
             for t in sorted(env.free_entries):
                 pgs = env.free_entries[t]
-                items.append((struct.pack("<Q", t),
-                              struct.pack(f"<{len(pgs) + 1}Q",
-                                          len(pgs), *pgs)))
+                chunks = [pgs[i : i + max_pgs]
+                          for i in range(0, len(pgs), max_pgs)] or [pgs]
+                for ch, key in zip(chunks, chunk_keys(t)):
+                    used.add(key)
+                    keyed.append((key, ch))
+            # FREE_DBI is MDB_INTEGERKEY: native-integer key order
+            items = [(struct.pack("<Q", k),
+                      struct.pack(f"<{len(ch) + 1}Q", len(ch), *ch))
+                     for k, ch in sorted(keyed)]
             # single leaf is nearly always enough (few hundred txns); build
             # multi-leaf + one branch level if not
             cap = env.psize - PAGEHDRSZ

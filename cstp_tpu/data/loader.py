@@ -148,8 +148,13 @@ class FinetuneLoader:
         self.process_count = process_count
 
     def __len__(self):
-        n = self.ds.num_videos() // self.process_count
-        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+        if self.drop_last:
+            return (self.ds.num_videos() // self.process_count
+                    ) // self.batch_size
+        # non-drop_last: every host iterates the LARGEST shard's batch
+        # count (see epoch()), so the length is host-independent
+        max_shard = -(-self.ds.num_videos() // self.process_count)
+        return -(-max_shard // self.batch_size)
 
     def _clip_indices(self, nframes: int, rng: Optional[np.random.Generator]):
         cr = (self.sample_duration - 1) * self.pb_rate
@@ -178,10 +183,32 @@ class FinetuneLoader:
         perm = perm[self.process_index :: self.process_count]
         bs = self.batch_size
         batched = hasattr(self.ds, "read_clips")  # native reader fast path
+        if self.drop_last:
+            stop = max(len(perm) - (bs - 1), 0)
+        else:
+            # every host must execute the SAME number of jitted eval steps:
+            # the eval step is a global-mesh program, so a host whose shard
+            # has one fewer tail batch would leave the others deadlocked in
+            # a collective. Iterate to the LARGEST shard's batch count;
+            # hosts past their own videos emit fully-masked pad batches.
+            max_shard = -(-self.ds.num_videos() // self.process_count)
+            stop = -(-max_shard // bs) * bs if max_shard else 0
         with ThreadPoolExecutor(self.num_workers) as pool:
-            stop = len(perm) - (bs - 1) if self.drop_last else len(perm)
-            for start in range(0, max(stop, 0), bs):
+            prev_frames = None
+            for start in range(0, stop, bs):
                 ids = perm[start : start + bs]
+                if len(ids) == 0:
+                    # shard exhausted (shorter than the widest host's):
+                    # emit an all-padding batch so step counts line up
+                    if prev_frames is None:
+                        f0, _ = self._load_one(int(perm[0]) if len(perm)
+                                               else 0, epoch)
+                        prev_frames = f0[None]
+                    frames = np.repeat(prev_frames[-1:], bs, axis=0)
+                    labels = np.zeros((bs,), np.int32)
+                    yield {"frames": frames, "labels": labels,
+                           "mask": np.zeros((bs,), np.float32)}
+                    continue
                 if batched:
                     metas = [self.ds.video_meta(int(v)) for v in ids]
                     idx = np.stack([
@@ -213,6 +240,7 @@ class FinetuneLoader:
                     labels = np.concatenate(
                         [labels, np.repeat(labels[-1:], pad)])
                     mask = np.concatenate([mask, np.zeros((pad,), np.float32)])
+                prev_frames = frames
                 yield {"frames": frames, "labels": labels, "mask": mask}
 
 

@@ -53,16 +53,19 @@ class SyntheticVideoDataset:
     def read_frames(self, i: int, indices: Sequence[int]) -> np.ndarray:
         ph = self._phase[i]
         if self.learnable:
-            # class-conditional content: x-frequency and phase velocity are
-            # label functions (coprime-ish steps spread classes apart)
+            # class-conditional content: x-frequency, phase velocity, AND
+            # y-frequency are label functions — 5*4*6 = 120 distinct
+            # combinations, so every label < 120 (covers UCF-101's 101)
+            # maps to statistically distinct video content
             lab = int(self._labels[i])
             fx = 4.0 + 1.5 * (lab % 5)
             vel = 0.10 + 0.05 * ((lab // 5) % 4)
+            fy = 3.0 + 1.0 * ((lab // 20) % 6)
         else:
-            fx, vel = 6.0, 0.15
+            fx, vel, fy = 6.0, 0.15, 5.0
         t = np.asarray(indices, np.float32)[:, None, None] * vel
         base = np.sin(fx * self._xx[None] + t + ph[0]) * np.cos(
-            5.0 * self._yy[None] - 0.5 * t + ph[1]
+            fy * self._yy[None] - 0.5 * t + ph[1]
         )
         frames = np.stack(
             [

@@ -347,7 +347,12 @@ class SpatioTemporalConv(nn.Module):
         in_ch = x.shape[-1]
         mid = r21d_intermediate_channels(in_ch, self.features, self.kernel,
                                          self.mid_round)
-        if (self.fused and train and self.stride == (1, 1, 1)
+        # The fused kernel lowers via Mosaic, which exists only on TPU;
+        # on other backends (CPU conftest meshes, dryrun) fall through to
+        # the numerically-equivalent unfused XLA chain — including during
+        # model.init, which traces the train-mode body.
+        fused_ok = self.fused and jax.default_backend() == "tpu"
+        if (fused_ok and train and self.stride == (1, 1, 1)
                 and (kt, pt) == (3, 1) and (ph, pw) == (kh // 2, kw // 2)):
             from cstp_tpu.ops.pallas.conv21d import fused_st_conv
 

@@ -53,12 +53,15 @@ from cstp_tpu.models.layers import (
     MLPHead,
     SelfGating,
     glorot_conv_init,
-    l2_normalize,
     max_pool_3d,
     max_pool_3d_same,
     torch_linear_bias_init,
 )
 from cstp_tpu.models.r21d import R2Plus1DNet
+
+# the legacy loss formula is identical to the live engine's
+# (pace/r21d.py:334-338 == r21d_byol.py:346-349) — share one implementation
+from cstp_tpu.ssl.byol import byol_regression_loss as _byol_regression
 
 # pace/s3d_g.py _space_to_depth (lines 280-287): the same permutation as the
 # coclr s2d stem already rebuilt in models/s3dg.py — reused, not duplicated.
@@ -121,13 +124,6 @@ class LegacyR21DPace(nn.Module):
             return _dense(self.num_classes, 512, "linear")(feat)
         return LegacyProjector(dtype=self.dtype, bn_groups=self.bn_groups,
                                name="project")(feat, train)
-
-
-def _byol_regression(x, y):
-    """2 - 2*cos per sample (pace/r21d.py:334-338)."""
-    x = l2_normalize(x.astype(jnp.float32))
-    y = l2_normalize(y.astype(jnp.float32))
-    return 2.0 - 2.0 * jnp.sum(x * y, axis=-1)
 
 
 class LegacyR21DBYOL(nn.Module):

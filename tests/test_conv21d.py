@@ -78,3 +78,25 @@ def test_fused_gradients_match_xla(key):
     for a, b_ in zip(gf, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    rtol=0.15, atol=0.05)
+
+
+def test_fused_module_falls_through_on_non_tpu_backend(key):
+    """--fused_conv on a non-TPU backend (this CPU test mesh, the driver
+    dryrun) must not reach the Mosaic kernel: SpatioTemporalConv falls
+    through to the unfused XLA chain for BOTH init and train-mode apply."""
+    from cstp_tpu.models.layers import SpatioTemporalConv
+
+    assert jax.default_backend() != "tpu"
+    mod = SpatioTemporalConv(8, (3, 3, 3), padding=(1, 1, 1),
+                             dtype=jnp.float32, fused=True)
+    x = jax.random.normal(key, (2, 4, 8, 8, 3), jnp.float32)
+    variables = mod.init(jax.random.PRNGKey(0), x, train=True)
+    out, _ = mod.apply(variables, x, train=True,
+                       mutable=["batch_stats", "intermediates"])
+    assert out.shape == (2, 4, 8, 8, 8)
+    unfused = SpatioTemporalConv(8, (3, 3, 3), padding=(1, 1, 1),
+                                 dtype=jnp.float32, fused=False)
+    ref, _ = unfused.apply(variables, x, train=True,
+                           mutable=["batch_stats", "intermediates"])
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)

@@ -204,6 +204,30 @@ def test_finetune_loader_val_pads_and_masks_tail(ds):
     np.testing.assert_array_equal(tail["frames"][2], tail["frames"][1])
 
 
+def test_finetune_loader_val_equal_batch_count_across_hosts(ds):
+    """Multi-host val: every host must run the SAME number of jitted eval
+    steps (the eval step is a global-mesh collective program — unequal
+    counts deadlock), even when shard sizes differ; hosts past their own
+    videos emit fully-masked pad batches and every video still counts
+    exactly once across hosts."""
+    loaders = [
+        FinetuneLoader(ds, batch_size=5, sample_duration=8, pb_rate=2,
+                       train=False, num_workers=2, drop_last=False,
+                       process_index=i, process_count=3)
+        for i in range(3)
+    ]
+    per_host = [list(lo.epoch(0)) for lo in loaders]
+    # 32 videos over 3 hosts -> shards 11/11/10; ceil(11/5)=3 batches each
+    assert [len(b) for b in per_host] == [3, 3, 3]
+    assert all(len(lo) == 3 for lo in loaders)
+    for batches in per_host:
+        for b in batches:
+            assert b["frames"].shape[0] == 5
+    total_real = sum(float(b["mask"].sum())
+                     for batches in per_host for b in batches)
+    assert total_real == ds.num_videos()
+
+
 def test_kinetics_two_column_list_and_fallback(tmp_path):
     """Reference KINFTOnline/KINFTOnlineDecord read 2-column
     '{train,val}_list_label.txt' (datasets.py:1740/1863); those must parse

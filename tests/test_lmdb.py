@@ -397,3 +397,50 @@ def test_reference_write_pattern_end_to_end(tmp_path, rng):
     f = ds.read_frames(0, [0, 2, 4])
     assert f.shape == (3, 128, 171, 3) and f.std() > 1.0
     ds.close()
+
+
+def test_incremental_env_huge_freelist_chunks(tmp_path, rng):
+    """One txn freeing far more pages than fit in a single freelist node
+    (the reference write pattern: one txn per action class overwriting
+    hundreds of multi-page msgpack values) must commit — liblmdb chunks
+    long IDLs across adjacent keys (mdb_freelist_save) and so do we — and
+    the freed pages must be reusable after reopen."""
+    from cstp_tpu.data.lmdb_store import LMDBEnv
+
+    path = str(tmp_path / "bigfree.mdb")
+    env = LMDBEnv(path)
+    big = bytes(rng.integers(0, 256, 40960, dtype=np.uint8))  # 11 pages
+    txn = env.begin()
+    for i in range(80):
+        txn.put(b"%09d" % i, big)
+    txn.commit()
+    # txn 2: overwrite EVERY value -> frees ~80*11 > 800 pages at once
+    txn = env.begin()
+    for i in range(80):
+        txn.put(b"%09d" % i, b"small%d" % i)
+    txn.commit()
+    last_pg_after_free = env.last_pg
+    env.close()
+
+    db = LMDBReader(path)
+    assert db.get(b"%09d" % 7) == b"small7"
+    assert len(db) == 80
+    db.close()
+
+    # reopen: the chunked freelist parses back and feeds single-page reuse
+    # (overflow runs are extend-only by design) — hundreds of small inserts
+    # must draw their leaf pages from the pool, not extend the file
+    env = LMDBEnv(path)
+    assert sum(len(v) for v in env.free_entries.values()) > 800
+    txn = env.begin()
+    for i in range(300):
+        txn.put(b"new%06d" % i, b"v%d" % i)
+    txn.commit()
+    # growth is only the extend-only free-DB rebuild pages (a handful)
+    assert env.last_pg <= last_pg_after_free + 16
+    env.close()
+    db = LMDBReader(path)
+    assert db.get(b"new%06d" % 123) == b"v123"
+    assert db.get(b"%09d" % 77) == b"small77"
+    assert len(db) == 380
+    db.close()
