@@ -348,10 +348,13 @@ class SpatioTemporalConv(nn.Module):
         mid = r21d_intermediate_channels(in_ch, self.features, self.kernel,
                                          self.mid_round)
         # The fused kernel lowers via Mosaic, which exists only on TPU;
-        # on other backends (CPU conftest meshes, dryrun) fall through to
+        # on CPU/GPU backends (conftest meshes, dryrun) fall through to
         # the numerically-equivalent unfused XLA chain — including during
-        # model.init, which traces the train-mode body.
-        fused_ok = self.fused and jax.default_backend() == "tpu"
+        # model.init, which traces the train-mode body. Denylist rather
+        # than `== "tpu"`: the tunneled dev TPU reports a non-canonical
+        # platform name (see serve/export.py check_platform note).
+        fused_ok = (self.fused and jax.default_backend()
+                    not in ("cpu", "gpu", "cuda", "rocm", "metal"))
         if (fused_ok and train and self.stride == (1, 1, 1)
                 and (kt, pt) == (3, 1) and (ph, pw) == (kh // 2, kw // 2)):
             from cstp_tpu.ops.pallas.conv21d import fused_st_conv
