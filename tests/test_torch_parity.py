@@ -774,12 +774,16 @@ def test_r21d_training_trajectory_matches_torch(ref_r21d,
     # torch applies TWO sequential updates; ratio ~1.9 from momentum 0.1).
     # Running stats never feed the train-mode forward, so the loss
     # trajectory below is blind to them.
-    # atol 2e-4: observed cross-framework float noise after one step is
-    # ~6e-5 (f32 BN-variance cancellation amplified through backward); a
-    # semantic bug (wrong momentum/wd/EMA/clip) shifts params by >=1e-3.
+    # atol 5e-4: observed cross-framework float noise after one step is
+    # ~6e-5 on the round-1 host, but HOST-GENERATION-DEPENDENT — on an
+    # Emerald-Rapids CI box (family 6 model 207) under concurrent load,
+    # torch's oneDNN kernel/threading choices shift 0.26% of conv1-kernel
+    # elements by up to 3.4e-4 even against a fresh-compiled XLA side
+    # (round 3). A semantic bug (wrong momentum/wd/EMA/clip) shifts whole
+    # leaves by >=1e-3, which rtol 5e-3 on O(3e-2) weights still catches.
     jax.tree_util.tree_map_with_path(
         lambda path, j, t: np.testing.assert_allclose(
-            np.asarray(j), np.asarray(t), rtol=5e-3, atol=2e-4,
+            np.asarray(j), np.asarray(t), rtol=5e-3, atol=5e-4,
             err_msg=jax.tree_util.keystr(path)),
         jax_step1["params"], torch_step1["params"])
 
