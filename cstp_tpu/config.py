@@ -105,6 +105,10 @@ class Config:
     log_every: int = 1                      # per-step console print period (0=off)
     profile_dir: str = ""                   # capture an xprof trace here
     profile_steps: int = 5                  # steps to trace (first epoch)
+    tb_dir: str = ""                        # TensorBoard scalars here (rank 0;
+                                            # dependency-free event writer,
+                                            # utils/tb.py) — CSVs stay the
+                                            # parity format
     ckpt_every_epochs: int = 100            # reference: epoch % 100 (main_byol.py:132)
     device_augment: bool = True             # fused on-device aug vs host PIL path
     ntxent_weight: float = 0.0              # >0 adds NT-Xent(temperature) with
@@ -117,6 +121,13 @@ class Config:
                                             # 0 = leave libtpu default)
     shard_opt_state: int = 0                # ZeRO-1: shard optimizer state
                                             # over 'data' (arXiv:2004.13336)
+    shard_spatial: int = 0                  # spatial partitioning: shard
+                                            # activation H over 'model' (the
+                                            # SP analog for video CNNs; conv
+                                            # halo exchange via GSPMD) — for
+                                            # long-clip/224² configs whose
+                                            # per-sample activations exceed
+                                            # one chip (parallel/mesh.py)
     ema_ref_batch: int = 0                  # >0: scale byol_momentum for the
                                             # actual global batch as m**(B/ref)
                                             # ("How to Scale Your EMA",
@@ -148,6 +159,12 @@ class Config:
     auto_resume: bool = False               # restart from the newest ckpt in
                                             # the run dir (preemption-safe
                                             # launches; ref has no recovery)
+    graceful_preempt: int = 1               # SIGTERM -> finish the current
+                                            # step, save save_{E}, stop (0=off;
+                                            # multi-host stops all hosts at the
+                                            # same step via the jax
+                                            # coordination service —
+                                            # utils/preemption.py)
     data_backend: str = "framedir"          # framedir | packed | lmdb | video | synthetic
     synthetic_len: int = 256                # synthetic dataset size
     synthetic_learnable: int = 0            # 1 = class-conditional content
@@ -303,6 +320,7 @@ def _add_args(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--ckpt_every_epochs", default=c.ckpt_every_epochs, type=int)
     parser.add_argument("--log_every", default=c.log_every, type=int)
     parser.add_argument("--profile_dir", default=c.profile_dir, type=str)
+    parser.add_argument("--tb_dir", default=c.tb_dir, type=str)
     parser.add_argument("--profile_steps", default=c.profile_steps, type=int)
     parser.add_argument("--ntxent_weight", default=c.ntxent_weight, type=float)
     parser.add_argument("--s2d_stem", action="store_true")
@@ -313,10 +331,13 @@ def _add_args(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--ema_ref_batch", default=c.ema_ref_batch, type=int)
     parser.add_argument("--shard_opt_state", default=c.shard_opt_state,
                         type=int)
+    parser.add_argument("--shard_spatial", default=c.shard_spatial, type=int)
     parser.add_argument("--tf_i3d_ckpt", default=c.tf_i3d_ckpt, type=str)
     parser.add_argument("--data_echo", default=c.data_echo, type=int)
     parser.add_argument("--grad_accum", default=c.grad_accum, type=int)
     parser.add_argument("--auto_resume", action="store_true")
+    parser.add_argument("--graceful_preempt", default=c.graceful_preempt,
+                        type=int)
 
 
 def parse_opts(argv: Optional[List[str]] = None) -> Config:

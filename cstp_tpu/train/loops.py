@@ -36,6 +36,8 @@ from cstp_tpu.train.finetune import (
 from cstp_tpu.train.meters import AverageMeter, Logger, StepTimer
 from cstp_tpu.train.pretrain import create_pretrain_state, make_pretrain_step
 from cstp_tpu.utils import profiling
+from cstp_tpu.utils.preemption import PreemptionGuard
+from cstp_tpu.utils.tb import maybe_tb_writer
 
 
 # Reference dataset CLASS names (selected by ``globals()[opts.dataset]``
@@ -132,7 +134,26 @@ def _log_dir(config: Config) -> str:
         return os.path.dirname(os.path.abspath(config.resume_md_path))
     d = os.path.join(config.result_path, config.dataset, config.task)
     os.makedirs(d, exist_ok=True)
+    _dump_config(config, d)
     return d
+
+
+def _dump_config(config: Config, log_dir: str) -> None:
+    """Reproducibility record: the fully-resolved flag surface as JSON in
+    the run dir (the reference keeps no record of a run's flags; recovering
+    them from shell history is a known failure mode of its script-driven
+    configs, script/r2p1d/*)."""
+    if jax.process_index() != 0:
+        return
+    import dataclasses
+    import json
+
+    try:
+        d = dataclasses.asdict(config)
+        with open(os.path.join(log_dir, "config.json"), "w") as f:
+            json.dump(d, f, indent=1, sort_keys=True, default=str)
+    except OSError:
+        pass  # read-only result dir: the record is best-effort
 
 
 def run_pretrain(config: Config, max_steps_per_epoch: int = 0) -> Dict:
@@ -201,10 +222,17 @@ def run_pretrain(config: Config, max_steps_per_epoch: int = 0) -> Dict:
         config.learning_rate, config.n_epochs, 0.5 * config.n_epochs,
         min_lr=1e-5, gamma=0.5,
     )
+    tb = maybe_tb_writer(config.tb_dir, "pretrain")
     key = jax.random.PRNGKey(config.manual_seed + 17)
     history = []
     n_batches = len(loader)
     tracing = False
+    # SIGTERM -> finish the current step, save save_{epoch}, stop; resume
+    # redoes the interrupted epoch (same filename->epoch semantics as the
+    # reference's resume, main_byol.py:215)
+    guard = PreemptionGuard(enabled=bool(config.graceful_preempt))
+    global_step = 0
+    preempted = False
     for epoch in range(begin_epoch, config.n_epochs + 1):
         lr = jnp.asarray(lr_fn(epoch - 1), jnp.float32)
         timer = StepTimer()
@@ -240,6 +268,10 @@ def run_pretrain(config: Config, max_steps_per_epoch: int = 0) -> Dict:
                 m = jax.device_get(metrics)
                 for k, meter in step_meters.items():
                     meter.update(float(m[k]))
+                if tb:  # already-fetched scalars — no extra device sync
+                    tb.add_scalars(
+                        {k: float(m[k]) for k in step_meters},
+                        (epoch - 1) * n_batches + i + 1, prefix="step/")
                 lt, lb = step_meters["loss"], step_meters["loss_byol"]
                 print(
                     f"Epoch: [{epoch}][{i + 1}/{n_batches}]\t"
@@ -254,6 +286,10 @@ def run_pretrain(config: Config, max_steps_per_epoch: int = 0) -> Dict:
                     f"Lr {float(lr):.4}",
                     flush=True,
                 )
+            global_step += 1
+            if guard.requested(global_step):
+                preempted = True
+                break
             if max_steps_per_epoch and i + 1 >= max_steps_per_epoch:
                 break
         if tracing:  # short epoch: close the trace cleanly
@@ -276,7 +312,24 @@ def run_pretrain(config: Config, max_steps_per_epoch: int = 0) -> Dict:
         }
         if jax.process_index() == 0:
             logger.log(row)
+            if tb:
+                tb.add_scalars({k: v for k, v in row.items() if k != "epoch"},
+                               epoch, prefix="epoch/")
+                tb.flush()
         history.append(row)
+        if preempted:
+            if jax.process_index() == 0:
+                ckpt_lib.save_checkpoint(
+                    os.path.join(log_dir, ckpt_lib.ckpt_name(epoch)),
+                    {"params": state.params, "batch_stats": state.batch_stats,
+                     "opt_state": state.opt_state, "step": state.step},
+                    meta={"arch": config.arch, "epoch": epoch,
+                          "preempted": True},
+                )
+                print(f"Preempted at epoch {epoch} step {global_step}: "
+                      f"checkpoint saved; relaunch with --auto_resume "
+                      f"(or --task resume) to continue", flush=True)
+            break
         if jax.process_index() == 0 and epoch % config.ckpt_every_epochs == 0:
             ckpt_lib.save_checkpoint(
                 os.path.join(log_dir, ckpt_lib.ckpt_name(epoch)),
@@ -284,8 +337,12 @@ def run_pretrain(config: Config, max_steps_per_epoch: int = 0) -> Dict:
                  "opt_state": state.opt_state, "step": state.step},
                 meta={"arch": config.arch, "epoch": epoch + 1},
             )
+    guard.close()
+    if tb:
+        tb.close()
     logger.close()
-    return {"history": history, "state": state, "model": model}
+    return {"history": history, "state": state, "model": model,
+            "preempted": preempted}
 
 
 def run_finetune(config: Config, max_steps_per_epoch: int = 0) -> Dict:
@@ -382,9 +439,13 @@ def run_finetune(config: Config, max_steps_per_epoch: int = 0) -> Dict:
                           ["epoch", "loss", "acc", "lr"], overlay=overlay)
     val_logger = Logger(os.path.join(log_dir, "val_" + stem),
                         ["epoch", "loss", "acc"], overlay=overlay)
+    tb = maybe_tb_writer(config.tb_dir, "finetune")
     key = jax.random.PRNGKey(config.manual_seed + 23)
     history = []
     n_batches = len(train_loader)
+    guard = PreemptionGuard(enabled=bool(config.graceful_preempt))
+    global_step = 0
+    preempted = False
     for epoch in range(begin_epoch, config.n_epochs + 1):
         lr = jnp.asarray(plateau.lr, jnp.float32)
         train_ms = []
@@ -418,15 +479,24 @@ def run_finetune(config: Config, max_steps_per_epoch: int = 0) -> Dict:
                     f"Left {left_d:.1f}d",
                     flush=True,
                 )
+            global_step += 1
+            if guard.requested(global_step):
+                preempted = True
+                break
             if max_steps_per_epoch and i + 1 >= max_steps_per_epoch:
                 break
         val_ms = []
-        it = prefetch_to_device(val_loader.epoch(epoch), mesh,
-                                depth=config.prefetch_depth)
-        for i, batch in enumerate(it):
-            val_ms.append(eval_fn(state, batch))
-            if max_steps_per_epoch and i + 1 >= max_steps_per_epoch:
-                break
+        if not preempted:
+            it = prefetch_to_device(val_loader.epoch(epoch), mesh,
+                                    depth=config.prefetch_depth)
+            for i, batch in enumerate(it):
+                val_ms.append(eval_fn(state, batch))
+                global_step += 1
+                if guard.requested(global_step):
+                    preempted = True
+                    break
+                if max_steps_per_epoch and i + 1 >= max_steps_per_epoch:
+                    break
         train_ms = jax.device_get(train_ms)
         val_ms = jax.device_get(val_ms)
         t_loss = float(np.mean([m["loss"] for m in train_ms])) if train_ms else 0.0
@@ -438,6 +508,25 @@ def run_finetune(config: Config, max_steps_per_epoch: int = 0) -> Dict:
                   if v_count else 0.0)
         v_acc = (float(np.sum([m["correct"] for m in val_ms])) / v_count
                  if v_count else 0.0)
+        if preempted:
+            # save a RESUMABLE (non-best) checkpoint; meta epoch = this epoch
+            # so --task resume redoes the interrupted epoch with the restored
+            # plateau/optimizer state. Partial val stats are discarded —
+            # best-checkpoint selection only ever sees full-set numbers.
+            if jax.process_index() == 0:
+                ckpt_lib.save_checkpoint(
+                    os.path.join(log_dir, ckpt_lib.ckpt_name(epoch)),
+                    {"params": state.params, "batch_stats": state.batch_stats,
+                     "opt_state": state.opt_state, "step": state.step},
+                    meta={"arch": config.arch, "epoch": epoch,
+                          "plateau": plateau.state_dict(),
+                          "best_acc": best["acc"], "preempted": True},
+                )
+                print(f"Preempted at epoch {epoch} step {global_step}: "
+                      f"checkpoint saved; relaunch with --task resume "
+                      f"--resume_md_path .../{ckpt_lib.ckpt_name(epoch)} to "
+                      f"continue", flush=True)
+            break
         # plateau stepped on GLOBAL val loss on every host — fixing the
         # reference rank-0-only LR desync (main_ft_mp.py:291-292)
         plateau.step(v_loss)
@@ -445,6 +534,12 @@ def run_finetune(config: Config, max_steps_per_epoch: int = 0) -> Dict:
             train_logger.log({"epoch": epoch, "loss": t_loss, "acc": t_acc,
                               "lr": float(f"{plateau.lr:.5f}")})
             val_logger.log({"epoch": epoch, "loss": v_loss, "acc": v_acc})
+            if tb:
+                tb.add_scalars({"loss": t_loss, "acc": t_acc,
+                                "lr": plateau.lr}, epoch, prefix="train/")
+                tb.add_scalars({"loss": v_loss, "acc": v_acc}, epoch,
+                               prefix="val/")
+                tb.flush()
             if v_acc > best["acc"]:  # best-only retention (main_ft_mp.py:295-310)
                 if best["path"]:
                     ckpt_lib.delete_checkpoint(best["path"])
@@ -460,9 +555,13 @@ def run_finetune(config: Config, max_steps_per_epoch: int = 0) -> Dict:
                 best = {"acc": v_acc, "path": path, "epoch": epoch}
         history.append({"epoch": epoch, "train_loss": t_loss, "train_acc": t_acc,
                         "val_loss": v_loss, "val_acc": v_acc, "lr": plateau.lr})
+    guard.close()
+    if tb:
+        tb.close()
     train_logger.close()
     val_logger.close()
-    return {"history": history, "state": state, "model": model, "best": best}
+    return {"history": history, "state": state, "model": model, "best": best,
+            "preempted": preempted}
 
 
 def run_test(config: Config, max_videos: int = 0) -> Dict:
