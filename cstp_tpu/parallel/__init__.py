@@ -6,4 +6,5 @@ from cstp_tpu.parallel.mesh import (  # noqa: F401
     shard_batch,
     shard_state,
     replicate,
+    spatial_constraint_fn,
 )

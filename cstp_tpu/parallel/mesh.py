@@ -139,6 +139,42 @@ def replicate(mesh: Mesh, tree):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), tree)
 
 
+def spatial_constraint_fn(config):
+    """``--shard_spatial``: spatial partitioning of the conv stack (the
+    'sequence/context parallelism' analog for video CNNs — SURVEY §2.4
+    "long-clip scaling ... spatial sharding via pjit if ever needed").
+
+    Returns a callable applied to NDHWC ``(B, T, H, W, C)`` activations
+    inside the jitted steps: it constrains H over the 'model' axis, and
+    XLA's SPMD partitioner propagates the split through every conv
+    (inserting halo exchanges over ICI for the kernel overlap) and
+    re-reduces at the global pools/BN stats. Use it when one sample's
+    activations don't fit a chip — long clips (``--sample_duration`` 64+)
+    or 224² inputs — the regimes DP alone can't reach. Numerics: the conv
+    halo machinery is exact (tests/test_cross_topology.py::
+    test_spatial_halo_conv_is_exact); full training trajectories agree up
+    to f32 BatchNorm-statistic summation-order noise, because H-sharding
+    splits each sample's within-sample stat sums — a reassociation batch
+    sharding never performs (measured analysis in
+    test_spatial_partitioning_forward_exact_trajectory_consistent).
+
+    Identity when the flag is off or the mesh has no 'model' dimension.
+    """
+    if not getattr(config, "shard_spatial", 0):
+        return lambda x: x
+    mesh = create_mesh(tuple(config.mesh_shape), tuple(config.mesh_axes))
+    if mesh.shape.get("model", 1) <= 1:
+        return lambda x: x
+    s = NamedSharding(mesh, P("data", None, "model", None, None))
+
+    def constrain(x):
+        if x.ndim != 5:
+            return x
+        return jax.lax.with_sharding_constraint(x, s)
+
+    return constrain
+
+
 # width of the BYOL projector/predictor hidden layers — the only matmuls in
 # this model family wide enough to be worth weight-sharding (r21d_byol.py:
 # 232-257: Linear(512,4096)/Linear(4096,512))

@@ -135,8 +135,12 @@ def make_finetune_step(model: CSTPClassify, tx, config: Config):
     Augmentation (RandomSizedCrop + ColorJitter@0.3 + tf-norm) fused in."""
     sample_size = config.sample_size
     dtype = jnp.dtype(config.compute_dtype)
+    from cstp_tpu.parallel import spatial_constraint_fn
+
+    sp = spatial_constraint_fn(config)  # --shard_spatial (parallel/mesh.py)
 
     def loss_fn(params, batch_stats, x, y):
+        x = sp(x)
         logits, mutated = model.apply(
             {"params": params, "batch_stats": batch_stats},
             x, train=True, mutable=["batch_stats"],
@@ -198,11 +202,15 @@ def make_eval_step(model: CSTPClassify, config: Config):
     main_ft_mp.py:247-292). A batch without ``mask`` counts every row."""
     sample_size = config.sample_size
     dtype = jnp.dtype(config.compute_dtype)
+    from cstp_tpu.parallel import spatial_constraint_fn
+
+    sp = spatial_constraint_fn(config)
 
     @jax.jit
     def step(state: TrainState, batch):
         x = eval_augment_batch(batch["frames"], sample_size=sample_size,
                                norm_method=config.norm_method).astype(dtype)
+        x = sp(x)
         logits = model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
             x, train=False,
@@ -230,11 +238,15 @@ def make_logits_step(model: CSTPClassify, config: Config):
     takes (N, T, H0, W0, 3) windows of ONE video, returns (N, C) logits."""
     sample_size = config.sample_size
     dtype = jnp.dtype(config.compute_dtype)
+    from cstp_tpu.parallel import spatial_constraint_fn
+
+    sp = spatial_constraint_fn(config)
 
     @jax.jit
     def step(state: TrainState, windows):
         x = eval_augment_batch(windows, sample_size=sample_size,
                                norm_method=config.norm_method).astype(dtype)
+        x = sp(x)
         return model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
             x, train=False,

@@ -191,9 +191,15 @@ def _build_pretrain_programs(model: CSTPPretrain, tx, config: Config):
     sample_size = config.sample_size
 
     ntxent_w = config.ntxent_weight
+    # --shard_spatial: constrain the views' H dim over 'model' so the whole
+    # conv stack runs spatially partitioned (parallel/mesh.py)
+    from cstp_tpu.parallel import spatial_constraint_fn
+
+    sp = spatial_constraint_fn(config)
 
     def loss_fn(params, batch_stats, views_labels):
         v1, v2, spa, tem, pb, rot1, rot2 = views_labels
+        v1, v2 = sp(v1), sp(v2)
         if ntxent_w:
             (byol, logits, (emb1, emb2)), mutated = model.apply(
                 {"params": params, "batch_stats": batch_stats},
