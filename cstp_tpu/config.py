@@ -171,6 +171,12 @@ class Config:
                                             # (long-horizon learning runs)
     fused_conv: int = 0                     # Pallas-fused (2+1)D stride-1
                                             # blocks (ops/pallas/conv21d.py)
+    retrieval_clips: int = 10               # task 'retrieval': max sliding
+                                            # windows averaged per video
+                                            # (CSTP paper's nearest-neighbor
+                                            # video-retrieval protocol; the
+                                            # reference repo ships no script
+                                            # for it)
     mid_round: int = 1                      # round r21d factorized mid
                                             # channels to multiples of N
                                             # (128 = TPU lane width) — an
@@ -210,7 +216,8 @@ class Config:
     def finalize(self) -> "Config":
         """Validate and derive fields; returns self for chaining."""
         assert self.task in (
-            "loss_com", "r_byol", "ft_fc", "ft_all", "scratch", "test", "resume"
+            "loss_com", "r_byol", "ft_fc", "ft_all", "scratch", "test",
+            "resume", "retrieval",
         ), f"unknown task {self.task}"
         assert self.optimizer in ("sgd", "adam", "adamw")
         if isinstance(self.loss_weight, (int, float)):
@@ -337,6 +344,8 @@ def _add_args(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--grad_accum", default=c.grad_accum, type=int)
     parser.add_argument("--auto_resume", action="store_true")
     parser.add_argument("--graceful_preempt", default=c.graceful_preempt,
+                        type=int)
+    parser.add_argument("--retrieval_clips", default=c.retrieval_clips,
                         type=int)
 
 

@@ -285,6 +285,15 @@ class CSTPClassify(nn.Module):
             name="classify",
         )
 
+    def features(self, x, train: bool = False):
+        """Backbone feature vector (pre-head), for nearest-neighbor video
+        retrieval (``apply(..., method=CSTPClassify.features)``). The
+        internal-head i3d variant has no pre-head feature to expose."""
+        assert self.head_style != "i3d_conv", \
+            "retrieval features need a pre-head backbone output"
+        feat, _ = _feat_and_proj(self.online_net(x, train), self.spec)
+        return feat.astype(jnp.float32)
+
     def __call__(self, x, train: bool = True):
         if self.head_style == "i3d_conv":
             return self.online_net(x, train)  # logits from the internal head

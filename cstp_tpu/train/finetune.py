@@ -255,6 +255,68 @@ def make_logits_step(model: CSTPClassify, config: Config):
     return step
 
 
+def make_features_step(model: CSTPClassify, config: Config):
+    """jitted window-batch backbone features for nearest-neighbor retrieval:
+    takes (N, T, H0, W0, 3) windows of ONE video, returns L2-normalized
+    (N, D) feature vectors (deterministic scale+center-crop eval augment,
+    running BN stats — same input protocol as the test step)."""
+    sample_size = config.sample_size
+    dtype = jnp.dtype(config.compute_dtype)
+    from cstp_tpu.parallel import spatial_constraint_fn
+
+    sp = spatial_constraint_fn(config)
+
+    @jax.jit
+    def step(state: TrainState, windows):
+        x = eval_augment_batch(windows, sample_size=sample_size,
+                               norm_method=config.norm_method).astype(dtype)
+        x = sp(x)
+        feat = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            x, train=False, method=CSTPClassify.features,
+        )
+        return feat / (jnp.linalg.norm(feat, axis=-1, keepdims=True) + 1e-12)
+
+    return step
+
+
+RETRIEVAL_TOPK = (1, 5, 10, 20, 50)
+
+
+def retrieval_recalls(query_feats: np.ndarray, query_labels: np.ndarray,
+                      gallery_feats: np.ndarray, gallery_labels: np.ndarray,
+                      topk: Tuple[int, ...] = RETRIEVAL_TOPK,
+                      chunk: int = 512) -> dict:
+    """Nearest-neighbor video retrieval R@k (the CSTP paper's protocol;
+    the reference repo ships no script for it): cosine similarity of
+    L2-normalized per-video features, query = test split, gallery = train
+    split; a query counts at k if ANY of its k nearest gallery videos shares
+    its class. Similarity + top-k run on device in query chunks."""
+    ks = tuple(int(k) for k in topk)
+    max_k = min(max(ks), gallery_feats.shape[0])
+    gallery = jnp.asarray(gallery_feats)
+
+    @jax.jit
+    def _topk(q):
+        sims = q @ gallery.T
+        _, idx = jax.lax.top_k(sims, max_k)
+        return idx
+
+    hits = {k: 0 for k in ks}
+    n = query_feats.shape[0]
+    for s in range(0, n, chunk):
+        q = query_feats[s:s + chunk]
+        pad = chunk - q.shape[0]
+        if pad:  # one compile: pad the tail chunk, slice the result
+            q = np.concatenate([q, np.zeros((pad,) + q.shape[1:], q.dtype)])
+        idx = np.asarray(_topk(jnp.asarray(q)))[:chunk - pad if pad else chunk]
+        neighbor_labels = gallery_labels[idx]  # (chunk, max_k)
+        match = neighbor_labels == query_labels[s:s + idx.shape[0], None]
+        for k in ks:
+            hits[k] += int(match[:, :min(k, max_k)].any(axis=1).sum())
+    return {f"R@{k}": hits[k] / max(n, 1) for k in ks}
+
+
 WINDOW_BUCKETS = (4, 8, 16, 32, 64)
 
 

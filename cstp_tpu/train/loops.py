@@ -26,11 +26,14 @@ from cstp_tpu.data.loader import (
 from cstp_tpu.parallel import create_mesh, shard_state
 from cstp_tpu.train import optim
 from cstp_tpu.train.finetune import (
+    RETRIEVAL_TOPK,
     create_finetune_state,
     make_eval_step,
+    make_features_step,
     make_finetune_step,
     make_logits_step,
     pad_windows_to_bucket,
+    retrieval_recalls,
     sliding_window_indices,
 )
 from cstp_tpu.train.meters import AverageMeter, Logger, StepTimer
@@ -624,3 +627,91 @@ def run_test(config: Config, max_videos: int = 0) -> Dict:
         f.write("\n".join(lines) + "\n")
         f.write("Video accuracy = " + str(acc) + "\n")
     return {"accuracy": acc, "report": report, "n_videos": n}
+
+
+def _extract_video_features(dataset, config: Config, state, feats_fn,
+                            max_videos: int = 0):
+    """Per-video retrieval descriptor: mean of L2-normalized sliding-window
+    backbone features (<= config.retrieval_clips windows), renormalized."""
+    n = dataset.num_videos()
+    if max_videos:
+        n = min(n, max_videos)
+    feats, labels = [], np.zeros(n, np.int64)
+    for i in range(n):
+        nframes, label = dataset.video_meta(i)
+        windows = sliding_window_indices(nframes, config.sample_duration,
+                                         config.clip_stride,
+                                         max_windows=config.retrieval_clips)
+        frames = np.stack([dataset.read_frames(i, w) for w in windows])
+        padded, n_real = pad_windows_to_bucket(frames)
+        f = np.asarray(feats_fn(state, jnp.asarray(padded)))[:n_real]
+        v = f.mean(axis=0)
+        feats.append(v / (np.linalg.norm(v) + 1e-12))
+        labels[i] = label
+    return np.stack(feats).astype(np.float32), labels
+
+
+def run_retrieval(config: Config, max_videos: int = 0) -> Dict:
+    """Nearest-neighbor video retrieval (task ``retrieval``): the CSTP
+    paper's R@{1,5,10,20,50} protocol — test-split clips query the
+    train-split gallery by cosine similarity of backbone features; a query
+    counts at k if any of its k nearest train videos shares its class.
+    The reference repo publishes these numbers but ships no script.
+
+    Checkpoint resolution: ``--pretrained_path`` (a pretrain/BYOL
+    checkpoint, partial by-name load — the usual protocol evaluates the
+    self-supervised features directly; reference ``save_{E}.pth`` files are
+    name-translated) else ``--test_md_path`` else the auto-discovered
+    ``*_max`` finetune checkpoint (test.py:50-55 semantics)."""
+    profiling.apply_tpu_tuning(config.tpu_vmem_limit_kib)
+    create_mesh(config.mesh_shape, config.mesh_axes)
+    rng = jax.random.PRNGKey(config.manual_seed)
+    num_classes = config.n_finetune_classes or config.n_classes
+    model, state, _ = create_finetune_state(config, rng, num_classes)
+
+    target = {"params": state.params, "batch_stats": state.batch_stats}
+    if config.pretrained_path:
+        if os.path.isfile(config.pretrained_path):
+            from cstp_tpu.ckpt.checkpoint import _merge_by_name
+            from cstp_tpu.models.torch_import import load_torch_checkpoint
+
+            converted, _ = load_torch_checkpoint(
+                config.pretrained_path, config.model_name)
+            tree = _merge_by_name(target, converted)
+        else:
+            tree, _ = ckpt_lib.restore_checkpoint(config.pretrained_path,
+                                                  target)
+    else:
+        md_path = config.test_md_path or ckpt_lib.find_best_checkpoint(
+            os.path.join(config.result_path, config.dataset,
+                         config.t_ft_task or "ft_all"))
+        tree, meta = ckpt_lib.restore_checkpoint(md_path, target)
+        assert config.arch == str(meta.get("arch", config.arch))
+    state = state.replace(params=tree["params"],
+                          batch_stats=tree["batch_stats"])
+
+    feats_fn = make_features_step(model, config)
+    gallery_ds = build_dataset(config, "train")
+    query_ds = build_dataset(config, "test")
+    g_feats, g_labels = _extract_video_features(gallery_ds, config, state,
+                                                feats_fn, max_videos)
+    q_feats, q_labels = _extract_video_features(query_ds, config, state,
+                                                feats_fn, max_videos)
+    recalls = retrieval_recalls(q_feats, q_labels, g_feats, g_labels,
+                                RETRIEVAL_TOPK)
+
+    result_dir = os.path.join(config.result_path, config.dataset)
+    os.makedirs(result_dir, exist_ok=True)
+    report = os.path.join(
+        result_dir,
+        f"retrieval_{config.model_name}{config.model_depth}_{config.dataset}_"
+        f"{config.split}_{config.sample_duration}.txt",
+    )
+    with open(report, "w+") as f:
+        f.write(str(config.to_json()) + "\n")
+        f.write(f"gallery = {len(g_labels)} train videos, "
+                f"queries = {len(q_labels)} test videos\n")
+        for k, v in recalls.items():
+            f.write(f"{k} = {v}\n")
+    return {**recalls, "report": report,
+            "n_gallery": len(g_labels), "n_queries": len(q_labels)}
