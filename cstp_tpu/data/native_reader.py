@@ -18,6 +18,9 @@ import numpy as np
 
 _NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
 _LIB_PATH = os.path.abspath(os.path.join(_NATIVE_DIR, "libcstpack.so"))
+# Wheel/sdist installs ship the compiled library as package data next to this
+# module (setup.py BuildPyWithNative); the repo checkout keeps it in native/.
+_PACKAGED_LIB_PATH = os.path.join(os.path.dirname(__file__), "libcstpack.so")
 
 _lib = None
 
@@ -33,11 +36,21 @@ def _build_lib() -> Optional[str]:
         return None
 
 
+def _find_lib() -> Optional[str]:
+    env = os.environ.get("CSTP_NATIVE_LIB")
+    if env:
+        return env if os.path.exists(env) else None
+    for candidate in (_LIB_PATH, _PACKAGED_LIB_PATH):
+        if os.path.exists(candidate):
+            return candidate
+    return _build_lib()
+
+
 def load_native_lib() -> Optional[ctypes.CDLL]:
     global _lib
     if _lib is not None:
         return _lib
-    path = _LIB_PATH if os.path.exists(_LIB_PATH) else _build_lib()
+    path = _find_lib()
     if not path:
         return None
     lib = ctypes.CDLL(path)

@@ -156,3 +156,21 @@ def test_decode_jpeg_blobs_matches_pil_and_survives_corrupt():
     with pytest.warns(UserWarning):
         bad = native.decode_jpeg_blobs([b"notajpeg", blob], (16, 16))
     assert bad[0].max() == 0 and bad[1].std() > 1
+
+
+def test_find_lib_search_order(monkeypatch, tmp_path):
+    """Install-aware library discovery (setup.py ships the .so as package
+    data): CSTP_NATIVE_LIB wins outright; otherwise the repo native/ build is
+    preferred, then the packaged copy next to the module."""
+    fake = tmp_path / "libfake.so"
+    fake.write_bytes(b"")
+    monkeypatch.setenv("CSTP_NATIVE_LIB", str(fake))
+    assert native._find_lib() == str(fake)
+    monkeypatch.setenv("CSTP_NATIVE_LIB", str(tmp_path / "missing.so"))
+    assert native._find_lib() is None  # explicit override never falls back
+    monkeypatch.delenv("CSTP_NATIVE_LIB")
+    monkeypatch.setattr(native, "_LIB_PATH", str(tmp_path / "no1.so"))
+    pkg = tmp_path / "packaged.so"
+    pkg.write_bytes(b"")
+    monkeypatch.setattr(native, "_PACKAGED_LIB_PATH", str(pkg))
+    assert native._find_lib() == str(pkg)
