@@ -164,3 +164,53 @@ def test_spatial_partitioning_forward_exact_trajectory_consistent(shared):
     jax.tree_util.tree_map(
         lambda a, b: np.testing.assert_allclose(a, b, rtol=5e-2, atol=5e-2),
         ref_params1, params1)
+
+
+def test_checkpoint_resumes_across_topologies(shared, tmp_path):
+    """Preemption-resize: a checkpoint written from a (8,1) run restores
+    bit-exactly onto a (4,2) mesh (Orbax trees are host arrays — topology-
+    agnostic), and the post-resume step matches continuing on the original
+    mesh within the module's documented reassociation tolerances."""
+    from cstp_tpu import ckpt as ckpt_lib
+    from cstp_tpu.train.pretrain import TrainState
+
+    cfg, host_state, step, batch = shared
+    lr = jnp.asarray(cfg.learning_rate, jnp.float32)
+
+    mesh_a = create_mesh((8, 1))
+    state = jax.tree_util.tree_map(jnp.asarray, host_state)
+    state = shard_state(mesh_a, state)
+    batch_a = shard_batch(mesh_a, batch)
+    state1, _ = step(state, jax.random.PRNGKey(42), batch_a, lr)
+
+    path = str(tmp_path / "save_1")
+    tree1 = jax.device_get({
+        "params": state1.params, "batch_stats": state1.batch_stats,
+        "opt_state": state1.opt_state, "step": state1.step,
+    })
+    ckpt_lib.save_checkpoint(path, tree1)
+
+    # continuing on the original mesh = the reference trajectory
+    _, m_ref = step(state1, jax.random.PRNGKey(43), batch_a, lr)
+
+    # resume on (4,2)
+    target = jax.tree_util.tree_map(np.asarray, tree1)
+    restored, _ = ckpt_lib.restore_checkpoint(path, target)
+    for want, got in zip(jax.tree_util.tree_leaves(tree1["params"]),
+                         jax.tree_util.tree_leaves(restored["params"])):
+        np.testing.assert_array_equal(np.asarray(want), np.asarray(got))
+
+    mesh_b = create_mesh((4, 2))
+    state_r = TrainState(
+        step=jnp.asarray(restored["step"]),
+        params=jax.tree_util.tree_map(jnp.asarray, restored["params"]),
+        batch_stats=jax.tree_util.tree_map(jnp.asarray,
+                                           restored["batch_stats"]),
+        opt_state=jax.tree_util.tree_map(jnp.asarray, restored["opt_state"]),
+    )
+    state_r = shard_state(mesh_b, state_r)
+    batch_b = shard_batch(mesh_b, batch)
+    _, m_res = step(state_r, jax.random.PRNGKey(43), batch_b, lr)
+
+    np.testing.assert_allclose(float(m_res["loss"]), float(m_ref["loss"]),
+                               rtol=2e-4)
