@@ -313,7 +313,13 @@ def run_pretrain(config: Config, max_steps_per_epoch: int = 0) -> Dict:
             "acc": avg.get("acc_pretext"),
             "lr": float(f"{float(lr):.5f}"),
         }
-        if jax.process_index() == 0:
+        # a preempted epoch's means cover only the completed steps: keep the
+        # partial row in the in-memory history (callers/tests see it) but NOT
+        # in the CSV/TB — resume redoes this epoch and appends its full-epoch
+        # row, and the append-mode Logger would otherwise leave a duplicate,
+        # biased row for the same epoch (the finetune loop already discards
+        # partial-epoch stats the same way)
+        if jax.process_index() == 0 and not preempted:
             logger.log(row)
             if tb:
                 tb.add_scalars({k: v for k, v in row.items() if k != "epoch"},

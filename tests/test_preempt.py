@@ -95,6 +95,13 @@ def test_pretrain_preempt_saves_then_resume_redoes_epoch(tmp_path, monkeypatch):
     assert [h["epoch"] for h in res["history"]] == [2, 3]
     assert all(np.isfinite(h["loss"]) for h in res["history"])
 
+    # the CSV must hold each epoch ONCE: the interrupted epoch's partial-
+    # means row is withheld (resume appends the full-epoch row instead)
+    (csv_path,) = [p for p in os.listdir(log_dir) if p.endswith(".log")]
+    with open(log_dir / csv_path, newline="") as f:
+        rows = [line.split("\t")[0] for line in f.read().splitlines()[1:]]
+    assert rows == ["1", "2", "3"]
+
 
 def test_pretrain_preempt_disabled_runs_to_completion(tmp_path, monkeypatch):
     trigger = _TriggerAt(at=1)
