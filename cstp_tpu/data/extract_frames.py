@@ -43,27 +43,71 @@ def scale_arg(width: int, height: int, res: int) -> str:
     return f"-1:{res}" if width > height else f"{res}:-1"
 
 
+def _extract_video_cv2(video_path: str, out_dir: str, res: int,
+                       fps: int) -> int:
+    """Decoder fallback for ffmpeg-less hosts: cv2 (OpenCV's bundled
+    ffmpeg libs) decode + short-side scale + JPEG dump, with the same
+    nearest-timestamp fps resampling ``ffmpeg -r`` performs. Frame files
+    and numbering are identical to the ffmpeg path."""
+    import cv2
+
+    cap = cv2.VideoCapture(video_path)
+    if not cap.isOpened():
+        raise IOError(f"cv2 cannot open {video_path!r}")
+    try:
+        src_fps = cap.get(cv2.CAP_PROP_FPS) or fps
+        frames = []
+        while True:
+            ok, fr = cap.read()
+            if not ok:
+                break
+            frames.append(fr)
+    finally:
+        cap.release()
+    if not frames:
+        raise RuntimeError("no frames decoded")
+    h, w = frames[0].shape[:2]
+    if w > h:
+        tw, th = int(round(w * res / h)), res
+    else:
+        tw, th = res, int(round(h * res / w))
+    # ffmpeg -r N: emit one frame per 1/N s, nearest source timestamp
+    n_out = max(1, int(round(len(frames) * fps / src_fps)))
+    idx = [min(len(frames) - 1, int(round(i * src_fps / fps)))
+           for i in range(n_out)]
+    for j, i in enumerate(idx):
+        fr = cv2.resize(frames[i], (tw, th), interpolation=cv2.INTER_AREA)
+        cv2.imwrite(os.path.join(out_dir, "%05d.jpg" % (j + 1)), fr,
+                    [cv2.IMWRITE_JPEG_QUALITY, 94])  # ffmpeg -q:v 2 class
+    return n_out
+
+
 def extract_video(video_path: str, out_dir: str, res: int = 320,
                   fps: int = 30, redo: bool = False,
                   ffmpeg: str = "ffmpeg", ffprobe: str = "ffprobe") -> int:
     """Extract one video; returns frame count (0 on failure). Skips work if
-    ``out_dir/done`` exists (reference line 24)."""
+    ``out_dir/done`` exists (reference line 24). Uses the ffmpeg binary when
+    present (reference behavior), else the cv2 fallback."""
     done = os.path.join(out_dir, "done")
     if os.path.isfile(done) and not redo:
         return sum(1 for f in os.listdir(out_dir) if f.endswith(".jpg"))
     os.makedirs(out_dir, exist_ok=True)
     try:
-        w, h = probe_hw(video_path, ffprobe)
-        subprocess.run(
-            [ffmpeg, "-y", "-i", video_path, "-r", str(fps), "-q:v", "2",
-             "-vf", f"scale={scale_arg(w, h, res)}",
-             os.path.join(out_dir, "%05d.jpg")],
-            check=True, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
-        )
-        nframes = sum(
-            1 for f in os.listdir(out_dir)
-            if f.endswith(".jpg") and len(f) == 9
-        )
+        if shutil.which(ffmpeg) is None:
+            nframes = _extract_video_cv2(video_path, out_dir, res, fps)
+        else:
+            w, h = probe_hw(video_path, ffprobe)
+            subprocess.run(
+                [ffmpeg, "-y", "-i", video_path, "-r", str(fps), "-q:v", "2",
+                 "-vf", f"scale={scale_arg(w, h, res)}",
+                 os.path.join(out_dir, "%05d.jpg")],
+                check=True, stdout=subprocess.DEVNULL,
+                stderr=subprocess.DEVNULL,
+            )
+            nframes = sum(
+                1 for f in os.listdir(out_dir)
+                if f.endswith(".jpg") and len(f) == 9
+            )
         if nframes == 0:
             raise RuntimeError("no frames produced")
         with open(done, "w"):
@@ -124,8 +168,8 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     if shutil.which(args.ffmpeg) is None:
-        print(f"error: {args.ffmpeg!r} not found on PATH", file=sys.stderr)
-        return 2
+        print(f"note: {args.ffmpeg!r} not on PATH — using the cv2 decoder "
+              "fallback", file=sys.stderr)
     results = extract_tree(args.vid_dir, args.frame_dir, res=args.res,
                            fps=args.fps, redo=args.redo, workers=args.workers,
                            start=args.start, end=args.end,

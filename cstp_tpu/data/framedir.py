@@ -17,8 +17,7 @@ import numpy as np
 from cstp_tpu.data.labels import (
     VideoRecord,
     parse_ucf_list,
-    test_list_name,
-    train_list_name,
+    ucf_list_path,
 )
 
 try:  # PIL is the host decode dependency (same as the reference)
@@ -45,20 +44,23 @@ class FrameDirDataset:
             raise RuntimeError("PIL required for frame-dir ingest")
         self.frame_dir = frame_dir
         self.h0, self.w0 = ingest_hw
-        name = train_list_name(split) if data_type == "train" else test_list_name(split)
+        list_path = ucf_list_path(annotation_path, data_type, split)
         self.records: List[VideoRecord] = parse_ucf_list(
-            os.path.join(annotation_path, name), frame_dir, check_exists
+            list_path, frame_dir, check_exists
         )
         if not self.records:
-            raise FileNotFoundError(
-                f"no videos found via {os.path.join(annotation_path, name)}"
-            )
+            raise FileNotFoundError(f"no videos found via {list_path}")
 
     def num_videos(self) -> int:
         return len(self.records)
 
     def video_meta(self, i: int) -> Tuple[int, int]:
         r = self.records[i]
+        if r.nframes <= 0:
+            # plain (no-_nframe) split list: probe the frame count from the
+            # extracted %05d.jpg files on first use and cache it
+            vdir = os.path.join(self.frame_dir, r.path)
+            r.nframes = sum(1 for f in os.listdir(vdir) if f.endswith(".jpg"))
         return r.nframes, r.label
 
     def read_frames(self, i: int, indices: Sequence[int]) -> np.ndarray:

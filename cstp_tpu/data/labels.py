@@ -79,3 +79,19 @@ def train_list_name(split: str) -> str:
 
 def test_list_name(split: str) -> str:
     return f"testlist0{split}_nframe.txt"
+
+
+def ucf_list_path(annotation_path: str, data_type: str, split: str) -> str:
+    """Resolve a UCF/HMDB split list: prefer the ``*_nframe`` variant
+    (``trainlist0N_nframe.txt``, datasets.py:832-838), falling back to the
+    plain two-column ``trainlist0N.txt`` / ``testlist0N.txt`` the reference's
+    own spatial-pretext classes read (datasets.py:39-41,120-122,210-212) and
+    ships in ``UCF101_labels/``. Plain rows parse with ``nframes=-1`` and
+    each backend probes the true count lazily on first use — the same
+    fallback contract as :func:`kinetics_list_path`."""
+    stem = (f"trainlist0{split}" if data_type == "train"
+            else f"testlist0{split}")
+    withn = os.path.join(annotation_path, f"{stem}_nframe.txt")
+    if os.path.isfile(withn):
+        return withn
+    return os.path.join(annotation_path, f"{stem}.txt")

@@ -21,8 +21,7 @@ from cstp_tpu.data.labels import (
     VideoRecord,
     parse_kinetics_list,
     parse_ucf_list,
-    test_list_name,
-    train_list_name,
+    ucf_list_path,
 )
 from cstp_tpu.data.lmdb_store import LMDBReader
 
@@ -41,9 +40,7 @@ def _list_file(annotation_path: str, dataset: str, data_type: str,
         name = ("train_list_label_nframe.txt" if data_type == "train"
                 else "val_list_label_nframe.txt")
         return os.path.join(annotation_path, name), True
-    name = (train_list_name(split) if data_type == "train"
-            else test_list_name(split))
-    return os.path.join(annotation_path, name), False
+    return ucf_list_path(annotation_path, data_type, split), False
 
 
 class LMDBVideoDataset:
@@ -80,6 +77,18 @@ class LMDBVideoDataset:
 
     def video_meta(self, i: int) -> Tuple[int, int]:
         r = self.records[i]
+        if r.nframes <= 0:
+            # plain (no-_nframe) split list: probe from the shard's __vlen__
+            # meta key when present, else count the record's blobs
+            if not hasattr(self, "_vlen"):
+                try:
+                    self._vlen = _unpack(self.db[b"__vlen__"])
+                except KeyError:
+                    self._vlen = None
+            if self._vlen is not None:
+                r.nframes = int(self._vlen[int(self.keys[i])])
+            else:
+                r.nframes = len(self.frame_blobs(i))
         return r.nframes, r.label
 
     def frame_blobs(self, i: int) -> List[bytes]:

@@ -30,8 +30,7 @@ from cstp_tpu.data.labels import (
     kinetics_list_path,
     parse_kinetics_list,
     parse_ucf_list,
-    test_list_name,
-    train_list_name,
+    ucf_list_path,
 )
 
 try:
@@ -139,9 +138,7 @@ class VideoDataset:
             list_path = kinetics_list_path(annotation_path, data_type)
             self.records: List[VideoRecord] = parse_kinetics_list(list_path)
         else:
-            name = (train_list_name(split) if data_type == "train"
-                    else test_list_name(split))
-            list_path = os.path.join(annotation_path, name)
+            list_path = ucf_list_path(annotation_path, data_type, split)
             self.records = parse_ucf_list(list_path)
         if not self.records:
             raise FileNotFoundError(f"no videos in {list_path}")

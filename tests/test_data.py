@@ -246,3 +246,49 @@ def test_kinetics_two_column_list_and_fallback(tmp_path):
     withn = tmp_path / "val_list_label_nframe.txt"
     withn.write_text("val/abseiling/x.mp4  3  250\n")
     assert kinetics_list_path(str(tmp_path), "val") == str(withn)
+
+
+def test_ucf_plain_list_fallback_and_lazy_probe(tmp_path):
+    """The reference's own spatial-pretext classes read PLAIN
+    'trainlist0N.txt'/'testlist0N.txt' (no _nframe column; reference
+    datasets.py:39-41,120-122,210-212, shipped in UCF101_labels/). Those
+    must resolve when no _nframe list exists, parse with nframes=-1, and
+    the framedir backend must probe the true frame count lazily
+    (VERDICT r2 #8; mirrors the Kinetics fallback)."""
+    from PIL import Image
+
+    from cstp_tpu.data.framedir import FrameDirDataset
+    from cstp_tpu.data.labels import ucf_list_path
+
+    # exact format of the reference's UCF101_labels/trainlist01.txt rows
+    plain = tmp_path / "trainlist01.txt"
+    plain.write_text(
+        "ApplyEyeMakeup/v_ApplyEyeMakeup_g08_c01.mp4 0\n"
+        "Archery/v_Archery_g01_c01.mp4 2\n"
+    )
+    recs = parse_ucf_list(str(plain))
+    assert len(recs) == 2
+    assert recs[0].path == "ApplyEyeMakeup/v_ApplyEyeMakeup_g08_c01"
+    assert recs[0].label == 0 and recs[0].nframes == -1
+
+    # fallback: no *_nframe file -> the plain list
+    assert ucf_list_path(str(tmp_path), "train", "1") == str(plain)
+    # preference: the _nframe list wins when present
+    withn = tmp_path / "trainlist01_nframe.txt"
+    withn.write_text("ApplyEyeMakeup/v_ApplyEyeMakeup_g08_c01.avi 0 164\n")
+    assert ucf_list_path(str(tmp_path), "train", "1") == str(withn)
+    withn.unlink()
+
+    # framedir backend end-to-end: nframes probed from the %05d.jpg files
+    frames = tmp_path / "frames"
+    for rel, n in [("ApplyEyeMakeup/v_ApplyEyeMakeup_g08_c01", 6),
+                   ("Archery/v_Archery_g01_c01", 4)]:
+        d = frames / rel
+        d.mkdir(parents=True)
+        for k in range(n):
+            Image.new("RGB", (8, 6), (k, 0, 0)).save(d / ("%05d.jpg" % (k + 1)))
+    ds2 = FrameDirDataset(str(frames), str(tmp_path), split="1",
+                          data_type="train", ingest_hw=(6, 8))
+    assert ds2.video_meta(0) == (6, 0)
+    assert ds2.video_meta(1) == (4, 2)
+    assert ds2.read_frames(0, [0, 5]).shape == (2, 6, 8, 3)
