@@ -38,6 +38,7 @@ class SpatioTemporalResBlock(nn.Module):
     bn_groups: int = 1
     fused_conv: bool = False
     mid_round: int = 1
+    t_fold: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -45,14 +46,16 @@ class SpatioTemporalResBlock(nn.Module):
         res = SpatioTemporalConv(
             self.features, (3, 3, 3), stride, (1, 1, 1),
             dtype=self.dtype, bn_groups=self.bn_groups,
-            fused=self.fused_conv, mid_round=self.mid_round, name="conv1",
+            fused=self.fused_conv, mid_round=self.mid_round,
+            t_fold=self.t_fold, name="conv1",
         )(x, train)
         res = BatchNorm(dtype=self.dtype, groups=self.bn_groups, name="bn1")(res, not train)
         res = tag_bnrelu(nn.relu(res).astype(self.dtype))
         res = SpatioTemporalConv(
             self.features, (3, 3, 3), (1, 1, 1), (1, 1, 1),
             dtype=self.dtype, bn_groups=self.bn_groups,
-            fused=self.fused_conv, mid_round=self.mid_round, name="conv2",
+            fused=self.fused_conv, mid_round=self.mid_round,
+            t_fold=self.t_fold, name="conv2",
         )(res, train)
         res = BatchNorm(dtype=self.dtype, groups=self.bn_groups, name="bn2")(res, not train)
 
@@ -60,7 +63,8 @@ class SpatioTemporalResBlock(nn.Module):
             x = SpatioTemporalConv(
                 self.features, (1, 1, 1), (2, 2, 2), (0, 0, 0),
                 dtype=self.dtype, bn_groups=self.bn_groups,
-                mid_round=self.mid_round, name="downsampleconv",
+                mid_round=self.mid_round, t_fold=self.t_fold,
+                name="downsampleconv",
             )(x, train)
             x = BatchNorm(dtype=self.dtype, groups=self.bn_groups, name="downsamplebn")(x, not train)
 
@@ -82,19 +86,20 @@ class SpatioTemporalResLayer(nn.Module):
     bn_groups: int = 1
     fused_conv: bool = False
     mid_round: int = 1
+    t_fold: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         x = SpatioTemporalResBlock(
             self.features, self.downsample, dtype=self.dtype,
             bn_groups=self.bn_groups, fused_conv=self.fused_conv,
-            mid_round=self.mid_round, name="block1"
+            mid_round=self.mid_round, t_fold=self.t_fold, name="block1"
         )(x, train)
         for i in range(self.layer_size - 1):
             x = SpatioTemporalResBlock(
                 self.features, False, dtype=self.dtype,
                 bn_groups=self.bn_groups, fused_conv=self.fused_conv,
-                mid_round=self.mid_round, name=f"block{i + 2}"
+                mid_round=self.mid_round, t_fold=self.t_fold, name=f"block{i + 2}"
             )(x, train)
         return x
 
@@ -127,6 +132,9 @@ class R2Plus1DNet(nn.Module):
     # 128 = TPU lane width). Changes parameter shapes — an explicit
     # TPU-variant model, see layers.r21d_intermediate_channels
     mid_round: int = 1
+    # T-folded spatial convs with folded BN+ReLU (--t_fold; numerically
+    # identical, see layers.SpatioTemporalConv.t_fold)
+    t_fold: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -135,7 +143,7 @@ class R2Plus1DNet(nn.Module):
         x = SpatioTemporalConv(
             64, (3, 7, 7), (1, 2, 2), (1, 3, 3), dtype=self.dtype,
             bn_groups=self.bn_groups, s2d=self.s2d_stem,
-            mid_round=self.mid_round, name="conv1"
+            mid_round=self.mid_round, t_fold=self.t_fold, name="conv1"
         )(x, train)
         x = BatchNorm(dtype=self.dtype, groups=self.bn_groups, name="bn1")(x, not train)
         x = nn.relu(x).astype(self.dtype)
@@ -154,22 +162,22 @@ class R2Plus1DNet(nn.Module):
         x = Layer(
             64, self.layer_sizes[0], False, dtype=self.dtype,
             bn_groups=self.bn_groups, fused_conv=self.fused_conv,
-            mid_round=self.mid_round, name="conv2"
+            mid_round=self.mid_round, t_fold=self.t_fold, name="conv2"
         )(x, train)
         x = Layer(
             128, self.layer_sizes[1], True, dtype=self.dtype,
             bn_groups=self.bn_groups, fused_conv=self.fused_conv,
-            mid_round=self.mid_round, name="conv3"
+            mid_round=self.mid_round, t_fold=self.t_fold, name="conv3"
         )(x, train)
         x = Layer(
             256, self.layer_sizes[2], True, dtype=self.dtype,
             bn_groups=self.bn_groups, fused_conv=self.fused_conv,
-            mid_round=self.mid_round, name="conv4"
+            mid_round=self.mid_round, t_fold=self.t_fold, name="conv4"
         )(x, train)
         x = Layer(
             512, self.layer_sizes[3], True, dtype=self.dtype,
             bn_groups=self.bn_groups, fused_conv=self.fused_conv,
-            mid_round=self.mid_round, name="conv5"
+            mid_round=self.mid_round, t_fold=self.t_fold, name="conv5"
         )(x, train)
         # global average pool over (T, H, W) -> (B, 512), f32 like the torch
         # AdaptiveAvgPool3d output feeding f32 heads

@@ -96,6 +96,7 @@ class CSTPPretrain(nn.Module):
     alpha: int = 4                # slowfast frame-rate ratio (--alpha)
     fused_conv: bool = False      # Pallas-fused (2+1)D blocks (--fused_conv)
     mid_round: int = 1            # lane-rounded r21d mid widths (--mid_round)
+    t_fold: bool = False          # T-folded spatial convs (--t_fold)
     # True: the two views run through each tower as ONE batched 2B call with
     # BN groups DOUBLED so statistics stay per-view. False: two B-sized calls
     # per tower — the reference's own call pattern (r21d_byol.py:358-372).
@@ -115,6 +116,8 @@ class CSTPPretrain(nn.Module):
             extra["fused_conv"] = True
         if self.mid_round > 1 and self.backbone.startswith("r21d"):
             extra["mid_round"] = self.mid_round
+        if self.t_fold and self.backbone.startswith("r21d"):
+            extra["t_fold"] = True
         if self.remat_policy and self.backbone.startswith("r21d"):
             extra["remat_policy"] = self.remat_policy
         self.online_net = make_backbone(
@@ -237,6 +240,7 @@ class CSTPClassify(nn.Module):
     alpha: int = 4                # slowfast frame-rate ratio (--alpha)
     fused_conv: bool = False      # Pallas-fused (2+1)D blocks (--fused_conv)
     mid_round: int = 1            # lane-rounded r21d mid widths (--mid_round)
+    t_fold: bool = False          # T-folded spatial convs (--t_fold)
 
     def setup(self):
         spec = backbone_spec(self.backbone, self.depth)
@@ -247,6 +251,8 @@ class CSTPClassify(nn.Module):
             extra["fused_conv"] = True
         if self.mid_round > 1 and self.backbone.startswith("r21d"):
             extra["mid_round"] = self.mid_round
+        if self.t_fold and self.backbone.startswith("r21d"):
+            extra["t_fold"] = True
         if self.head_style == "i3d_conv":
             # the faithful reference i3d classifier lives INSIDE the
             # backbone (I3D conv_head; i3d_byol.py:295-306) — no external

@@ -56,6 +56,7 @@ def create_classify_model(config: Config, num_classes: int) -> CSTPClassify:
         alpha=config.alpha,
         fused_conv=bool(config.fused_conv),
         mid_round=config.mid_round,
+        t_fold=bool(config.t_fold),
     )
 
 

@@ -91,6 +91,7 @@ def create_pretrain_model(config: Config) -> CSTPPretrain:
         alpha=config.alpha,
         fused_conv=bool(config.fused_conv),
         mid_round=config.mid_round,
+        t_fold=bool(config.t_fold),
     )
 
 
@@ -99,7 +100,10 @@ def create_pretrain_state(
 ) -> Tuple[CSTPPretrain, TrainState, optax.GradientTransformation]:
     model = create_pretrain_model(config)
     t, s = config.sample_duration, config.sample_size
-    dummy = jnp.zeros((2, t, s, s, 3), jnp.dtype(config.compute_dtype))
+    # init batch must be divisible by the per-replica BN group count
+    # (--sync_bn 0 on an N-way data mesh needs >= N samples per view)
+    bs = max(2, bn_groups_from_config(config))
+    dummy = jnp.zeros((bs, t, s, s, 3), jnp.dtype(config.compute_dtype))
     variables = model.init(rng, dummy, dummy, train=True)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})

@@ -33,6 +33,10 @@ def main(argv=None):
     ap.add_argument("--groups", type=int, default=2)
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--mode", default="both", choices=["fwd", "grad", "both"])
+    ap.add_argument("--tiling", default="clip", choices=["taps9", "clip"],
+                    help="kernel variant: taps9 = round-2 per-frame 9xK=Cin "
+                         "matmuls + ring; clip = tap-stacked K=9*Cin im2col "
+                         "+ whole-clip macro-tiles (VERDICT r2 #2)")
     args = ap.parse_args(argv)
 
     import jax
@@ -69,9 +73,12 @@ def main(argv=None):
         out = reference_chain(x_, ws_, wt_, s_, b_, gm, gv, bn_groups=g)
         return jnp.sum(out.astype(jnp.float32))
 
+    tiling = args.tiling
+
     @jax.jit
     def fused_fwd(x_, ws_, wt_, s_, b_):
-        out, _, _ = fused_st_conv(x_, ws_, wt_, s_, b_, g)
+        out, _, _ = fused_st_conv(x_, ws_, wt_, s_, b_, g, 1e-5, False,
+                                  tiling)
         return jnp.sum(out.astype(jnp.float32))
 
     @jax.jit
@@ -112,8 +119,18 @@ def main(argv=None):
     results = {}
     if args.mode in ("fwd", "both"):
         results["xla_fwd"] = timed(xla_fwd, "xla fwd")
-        results["fused_fwd"] = timed(fused_fwd, "fused fwd")
+        results["fused_fwd"] = timed(fused_fwd, f"fused/{args.tiling}")
         print(f"fwd speedup: {results['xla_fwd'] / results['fused_fwd']:.3f}x")
+        # kernel MXU utilization (VERDICT r2 #2): useful contraction FLOPs
+        # of the fused forward = stats pass (1x spatial conv) + fwd pass
+        # (1x spatial conv + temporal conv), vs v5e bf16 peak 197 TFLOP/s
+        sp = 2 * b * t * hw * hw * (9 * args.cin) * args.mid
+        tc = 2 * b * t * hw * hw * args.mid * args.cout * 3
+        for name in ("xla_fwd", "fused_fwd"):
+            flops = (sp + tc) if name == "xla_fwd" else (2 * sp + tc)
+            tf = flops / results[name] / 1e12
+            print(f"  {name}: {tf:.1f} TFLOP/s = {tf / 197 * 100:.1f}% "
+                  f"of v5e bf16 peak ({flops / 1e9:.1f} GFLOP)")
     if args.mode in ("grad", "both"):
         results["xla_grad"] = timed(xla_grad, "xla grad")
         results["fused_grad"] = timed(fused_grad, "fused grad")

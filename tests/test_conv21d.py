@@ -24,11 +24,12 @@ def _setup(key, b=4, t=4, h=8, w=8, cin=8, m=16, cout=8):
     return x, ws, wt, scale, bias
 
 
+@pytest.mark.parametrize("tiling", ["taps9", "clip"])
 @pytest.mark.parametrize("groups", [1, 2])
-def test_fused_forward_matches_xla_chain(key, groups):
+def test_fused_forward_matches_xla_chain(key, groups, tiling):
     x, ws, wt, scale, bias = _setup(key)
     out, gmean, gvar = fused_st_conv(x, ws, wt, scale, bias, groups, 1e-5,
-                                     True)
+                                     True, tiling)
     rm, rv = reference_stats(x, ws, bn_groups=groups)
     np.testing.assert_allclose(np.asarray(gmean), np.asarray(rm),
                                rtol=2e-2, atol=2e-3)
@@ -44,11 +45,13 @@ def test_fused_forward_matches_xla_chain(key, groups):
     )
 
 
-def test_fused_temporal_boundaries(key):
+@pytest.mark.parametrize("tiling", ["taps9", "clip"])
+def test_fused_temporal_boundaries(key, tiling):
     """First/last output frames use zero temporal padding — verify against
     an explicit XLA conv with the same padding."""
     x, ws, wt, scale, bias = _setup(key, t=3)
-    out, gmean, gvar = fused_st_conv(x, ws, wt, scale, bias, 1, 1e-5, True)
+    out, gmean, gvar = fused_st_conv(x, ws, wt, scale, bias, 1, 1e-5, True,
+                                     tiling)
     ref = reference_chain(x, ws, wt, scale, bias, gmean, gvar, bn_groups=1)
     for frame in (0, x.shape[1] - 1):
         np.testing.assert_allclose(

@@ -269,6 +269,40 @@ def test_r21d_s2d_stem_is_exact(key):
                                rtol=1e-5, atol=1e-5)
 
 
+def test_t_fold_is_exact(key):
+    """--t_fold runs every r21d spatial conv T-folded ((B,T,H,W,C) ->
+    (B*T,H,W,C) 2D conv) with BN+ReLU computed on the folded tensor
+    (layers.SpatioTemporalConv.t_fold): same parameter tree, numerically
+    identical outputs AND batch statistics in BOTH BN modes."""
+    import numpy as np
+
+    from cstp_tpu.models import make_backbone
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(0, 1, (4, 4, 16, 16, 3)).astype(np.float32))
+    for groups in (1, 2):
+        m0 = make_backbone("r21d", 1, dtype=jnp.float32, bn_groups=groups)
+        m1 = make_backbone("r21d", 1, dtype=jnp.float32, bn_groups=groups,
+                           t_fold=True)
+        v = m0.init(key, x, train=False)
+        # identical param tree — checkpoints interchange
+        assert (jax.tree_util.tree_structure(v)
+                == jax.tree_util.tree_structure(m1.init(key, x, train=False)))
+        y0, s0 = m0.apply(v, x, train=True, mutable=["batch_stats"])
+        y1, s1 = m1.apply(v, x, train=True, mutable=["batch_stats"])
+        np.testing.assert_allclose(np.asarray(y0), np.asarray(y1),
+                                   rtol=2e-4, atol=2e-4)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5),
+            s0["batch_stats"], s1["batch_stats"])
+        # eval mode too (running-average normalization on the folded tensor)
+        e0 = m0.apply({"params": v["params"], **s0}, x, train=False)
+        e1 = m1.apply({"params": v["params"], **s1}, x, train=False)
+        np.testing.assert_allclose(np.asarray(e0), np.asarray(e1),
+                                   rtol=2e-4, atol=2e-4)
+
+
 def test_i3d_conv_head_flag(key):
     """--i3d_conv_head 1 builds the reference's internal i3d classifier
     (AvgPool(2,7,7)+conv(7,1,1) inside the backbone, i3d_byol.py:295-306)
