@@ -84,6 +84,160 @@ def test_two_process_rendezvous_and_collective(tmp_path):
         assert "OK" in out
 
 
+_STEP_WORKER = textwrap.dedent("""
+    import os, sys
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = (
+        "--xla_force_host_platform_device_count=4 "
+        "--xla_cpu_collective_call_warn_stuck_timeout_seconds=120 "
+        "--xla_cpu_collective_call_terminate_timeout_seconds=1200")
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from cstp_tpu.config import Config
+    from cstp_tpu.parallel import maybe_initialize_distributed, create_mesh
+    from cstp_tpu.train.pretrain import (
+        create_pretrain_state, make_pretrain_step)
+
+    assert maybe_initialize_distributed(), "env rendezvous not detected"
+    assert jax.process_count() == 2 and jax.device_count() == 8
+
+    cfg = Config(
+        model_name="r21d", model_depth=1, sample_duration=4, sample_size=32,
+        batch_size=8, learning_rate=0.05, compute_dtype="float32",
+        sync_bn=1, loss_weight=(0.1, 1.0, 1.0, 1.0, 1.0),
+    ).finalize()
+    # identical seeds -> every process builds the same initial state
+    model, state, tx = create_pretrain_state(cfg, jax.random.PRNGKey(0))
+    step = make_pretrain_step(model, tx, cfg)
+    mesh = create_mesh((8, 1), ("data", "model"))
+
+    def gput(x, spec):
+        x = np.asarray(x)
+        s = NamedSharding(mesh, spec)
+        return jax.make_array_from_callback(x.shape, s, lambda idx: x[idx])
+
+    state = jax.tree_util.tree_map(lambda x: gput(x, P()), state)
+    rng = np.random.default_rng(7)
+    b, t, h0, w0 = 8, 4, 48, 64
+    batch = {
+        "frames1": rng.integers(0, 255, (b, t, h0, w0, 3)).astype(np.uint8),
+        "frames2": rng.integers(0, 255, (b, t, h0, w0, 3)).astype(np.uint8),
+        "rot1": rng.integers(0, 4, (b,)).astype(np.int32),
+        "rot2": rng.integers(0, 4, (b,)).astype(np.int32),
+        "tem": rng.integers(0, 5, (b,)).astype(np.int32),
+        "pb": rng.integers(0, 4, (b,)).astype(np.int32),
+    }
+    batch = {k: gput(v, P("data")) for k, v in batch.items()}
+    lr = jnp.asarray(cfg.learning_rate, jnp.float32)
+    losses = []
+    for i in range(2):
+        state, metrics = step(state, jax.random.PRNGKey(42 + i), batch, lr)
+        losses.append(float(metrics["loss"]))  # replicated scalar
+        if i == 0 and jax.process_index() == 0:
+            flat = jax.tree_util.tree_leaves(
+                jax.tree_util.tree_map(
+                    lambda x: np.asarray(x.addressable_data(0)),
+                    state.params))
+            np.savez(sys.argv[1], *flat)
+    print("LOSSES", losses[0], losses[1], flush=True)
+""")
+
+
+@pytest.mark.slow
+def test_two_process_full_step_matches_single_process(tmp_path):
+    """VERDICT r2 #5: the SAME fused pretrain step (augment + BYOL towers +
+    clipped SGD), same seed and global batch, run as 2 processes x 4 local
+    devices must match 1 process x 8 devices — the replica-consistency
+    guarantee DDP gives the reference (models/model.py:90-103), here
+    across REAL process boundaries (cross-process collectives), not just
+    within one runtime. Tolerances are the measured reassociation envelope
+    derived in tests/test_cross_topology.py."""
+    import jax
+    import jax.numpy as jnp
+
+    from cstp_tpu.config import Config
+    from cstp_tpu.parallel import create_mesh, shard_batch, shard_state
+    from cstp_tpu.train.pretrain import (
+        create_pretrain_state,
+        make_pretrain_step,
+    )
+
+    # ---- single-process reference on the suite's 8 virtual devices ----
+    cfg = Config(
+        model_name="r21d", model_depth=1, sample_duration=4, sample_size=32,
+        batch_size=8, learning_rate=0.05, compute_dtype="float32",
+        sync_bn=1, loss_weight=(0.1, 1.0, 1.0, 1.0, 1.0),
+    ).finalize()
+    model, state, tx = create_pretrain_state(cfg, jax.random.PRNGKey(0))
+    step = make_pretrain_step(model, tx, cfg)
+    mesh = create_mesh((8, 1))
+    state = shard_state(mesh, state)
+    rng = np.random.default_rng(7)
+    b, t, h0, w0 = 8, 4, 48, 64
+    batch = shard_batch(mesh, {
+        "frames1": rng.integers(0, 255, (b, t, h0, w0, 3)).astype(np.uint8),
+        "frames2": rng.integers(0, 255, (b, t, h0, w0, 3)).astype(np.uint8),
+        "rot1": rng.integers(0, 4, (b,)).astype(np.int32),
+        "rot2": rng.integers(0, 4, (b,)).astype(np.int32),
+        "tem": rng.integers(0, 5, (b,)).astype(np.int32),
+        "pb": rng.integers(0, 4, (b,)).astype(np.int32),
+    })
+    lr = jnp.asarray(cfg.learning_rate, jnp.float32)
+    ref_losses, ref_params1 = [], None
+    for i in range(2):
+        state, metrics = step(state, jax.random.PRNGKey(42 + i), batch, lr)
+        ref_losses.append(float(metrics["loss"]))
+        if i == 0:
+            ref_params1 = jax.tree_util.tree_leaves(
+                jax.tree_util.tree_map(np.asarray,
+                                       jax.device_get(state.params)))
+
+    # ---- the same computation as 2 processes x 4 local devices ----
+    port = _free_port()
+    script = tmp_path / "step_worker.py"
+    script.write_text(_STEP_WORKER)
+    params_file = tmp_path / "params1.npz"
+    procs = []
+    for pid in range(2):
+        env = dict(os.environ)
+        env.update({
+            "CSTP_COORDINATOR": f"127.0.0.1:{port}",
+            "CSTP_NUM_PROCESSES": "2",
+            "CSTP_PROCESS_ID": str(pid),
+            "PYTHONPATH": os.path.dirname(os.path.dirname(__file__)),
+        })
+        env.pop("JAX_PLATFORMS", None)
+        env.pop("XLA_FLAGS", None)
+        procs.append(subprocess.Popen(
+            [sys.executable, str(script), str(params_file)], env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
+    outs = [p.communicate(timeout=900)[0] for p in procs]
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {pid} failed:\n{out[-4000:]}"
+    mp_losses = None
+    for out in outs:
+        for line in out.splitlines():
+            if line.startswith("LOSSES"):
+                vals = [float(v) for v in line.split()[1:]]
+                if mp_losses is None:
+                    mp_losses = vals
+                else:  # both processes must report the same global scalars
+                    np.testing.assert_allclose(vals, mp_losses, rtol=1e-6)
+    assert mp_losses is not None
+
+    np.testing.assert_allclose(mp_losses[:1], ref_losses[:1], rtol=1e-6)
+    np.testing.assert_allclose(mp_losses, ref_losses, rtol=2e-4)
+    with np.load(params_file) as z:
+        mp_params1 = [z[f"arr_{i}"] for i in range(len(z.files))]
+    assert len(mp_params1) == len(ref_params1)
+    for a, b2 in zip(ref_params1, mp_params1):
+        np.testing.assert_allclose(a, b2, rtol=5e-4, atol=1e-3)
+
+
 def test_loader_shards_disjoint_and_global_batch_math():
     """DistributedSampler semantics (utils.py:94-132): per-host loaders see
     disjoint strided shards; global batch = sum of per-host batches."""
