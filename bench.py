@@ -51,10 +51,15 @@ def main():
     ap.add_argument("--concat-views", type=int, default=1)
     ap.add_argument("--s2d-stem", action="store_true",
                     help="exact space-to-depth stem rewrite (r21d)")
-    ap.add_argument("--fused-conv", action="store_true",
-                    help="Pallas-fused (2+1)D stride-1 blocks (r21d)")
+    ap.add_argument("--fused-conv", type=int, default=0, nargs="?", const=1,
+                    help="Pallas-fused (2+1)D stride-1 blocks (r21d): "
+                         "1 = both towers, 2 = EMA target tower only "
+                         "(forward-only, no recompute VJP)")
     ap.add_argument("--t-fold", type=int, default=0,
                     help="T-folded spatial convs + folded BN/ReLU (r21d)")
+    ap.add_argument("--quant", default="", choices=["", "int8", "int8_fixed"],
+                    help="quantized forward tower convs (ops/quant.py)")
+    ap.add_argument("--quant-scope", default="all", choices=["all", "target"])
     ap.add_argument("--mid-round", type=int, default=1,
                     help="round r21d factorized mid widths to multiples of N "
                          "(128 = lane width); TPU model variant")
@@ -123,6 +128,8 @@ def main():
         fused_conv=int(args.fused_conv),
         mid_round=args.mid_round,
         t_fold=args.t_fold,
+        quant=args.quant,
+        quant_scope=args.quant_scope,
         grad_accum=args.grad_accum,
     ).finalize()
 

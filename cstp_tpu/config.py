@@ -180,6 +180,10 @@ class Config:
     mid_round: int = 1                      # round r21d factorized mid
     t_fold: int = 0                         # T-folded spatial convs + folded
                                             # BN/ReLU (r21d; PERF.md r3 combo)
+    quant: str = ""                         # '' | 'int8': quantized forward
+                                            # tower convs (ops/quant.py)
+    quant_scope: str = "all"                # 'all' | 'target': which towers
+                                            # quantize (pretrain only)
                                             # channels to multiples of N
                                             # (128 = TPU lane width) — an
                                             # explicit TPU model variant;
@@ -325,6 +329,10 @@ def _add_args(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--fused_conv", default=c.fused_conv, type=int)
     parser.add_argument("--mid_round", default=c.mid_round, type=int)
     parser.add_argument("--t_fold", default=c.t_fold, type=int)
+    parser.add_argument("--quant", default=c.quant,
+                        choices=["", "int8", "int8_fixed"])
+    parser.add_argument("--quant_scope", default=c.quant_scope,
+                        choices=["all", "target"])
     parser.add_argument("--legacy_pace", default=c.legacy_pace, type=int)
     parser.add_argument("--i3d_conv_head", default=c.i3d_conv_head, type=int)
     parser.add_argument("--ckpt_every_epochs", default=c.ckpt_every_epochs, type=int)

@@ -39,6 +39,7 @@ class SpatioTemporalResBlock(nn.Module):
     fused_conv: bool = False
     mid_round: int = 1
     t_fold: bool = False
+    quant: str = ""
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -47,7 +48,7 @@ class SpatioTemporalResBlock(nn.Module):
             self.features, (3, 3, 3), stride, (1, 1, 1),
             dtype=self.dtype, bn_groups=self.bn_groups,
             fused=self.fused_conv, mid_round=self.mid_round,
-            t_fold=self.t_fold, name="conv1",
+            t_fold=self.t_fold, quant=self.quant, name="conv1",
         )(x, train)
         res = BatchNorm(dtype=self.dtype, groups=self.bn_groups, name="bn1")(res, not train)
         res = tag_bnrelu(nn.relu(res).astype(self.dtype))
@@ -55,7 +56,7 @@ class SpatioTemporalResBlock(nn.Module):
             self.features, (3, 3, 3), (1, 1, 1), (1, 1, 1),
             dtype=self.dtype, bn_groups=self.bn_groups,
             fused=self.fused_conv, mid_round=self.mid_round,
-            t_fold=self.t_fold, name="conv2",
+            t_fold=self.t_fold, quant=self.quant, name="conv2",
         )(res, train)
         res = BatchNorm(dtype=self.dtype, groups=self.bn_groups, name="bn2")(res, not train)
 
@@ -64,7 +65,7 @@ class SpatioTemporalResBlock(nn.Module):
                 self.features, (1, 1, 1), (2, 2, 2), (0, 0, 0),
                 dtype=self.dtype, bn_groups=self.bn_groups,
                 mid_round=self.mid_round, t_fold=self.t_fold,
-                name="downsampleconv",
+                quant=self.quant, name="downsampleconv",
             )(x, train)
             x = BatchNorm(dtype=self.dtype, groups=self.bn_groups, name="downsamplebn")(x, not train)
 
@@ -87,19 +88,20 @@ class SpatioTemporalResLayer(nn.Module):
     fused_conv: bool = False
     mid_round: int = 1
     t_fold: bool = False
+    quant: str = ""
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         x = SpatioTemporalResBlock(
             self.features, self.downsample, dtype=self.dtype,
             bn_groups=self.bn_groups, fused_conv=self.fused_conv,
-            mid_round=self.mid_round, t_fold=self.t_fold, name="block1"
+            mid_round=self.mid_round, t_fold=self.t_fold, quant=self.quant, name="block1"
         )(x, train)
         for i in range(self.layer_size - 1):
             x = SpatioTemporalResBlock(
                 self.features, False, dtype=self.dtype,
                 bn_groups=self.bn_groups, fused_conv=self.fused_conv,
-                mid_round=self.mid_round, t_fold=self.t_fold, name=f"block{i + 2}"
+                mid_round=self.mid_round, t_fold=self.t_fold, quant=self.quant, name=f"block{i + 2}"
             )(x, train)
         return x
 
@@ -135,6 +137,7 @@ class R2Plus1DNet(nn.Module):
     # T-folded spatial convs with folded BN+ReLU (--t_fold; numerically
     # identical, see layers.SpatioTemporalConv.t_fold)
     t_fold: bool = False
+    quant: str = ""
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -143,7 +146,7 @@ class R2Plus1DNet(nn.Module):
         x = SpatioTemporalConv(
             64, (3, 7, 7), (1, 2, 2), (1, 3, 3), dtype=self.dtype,
             bn_groups=self.bn_groups, s2d=self.s2d_stem,
-            mid_round=self.mid_round, t_fold=self.t_fold, name="conv1"
+            mid_round=self.mid_round, t_fold=self.t_fold, quant=self.quant, name="conv1"
         )(x, train)
         x = BatchNorm(dtype=self.dtype, groups=self.bn_groups, name="bn1")(x, not train)
         x = nn.relu(x).astype(self.dtype)
@@ -162,22 +165,22 @@ class R2Plus1DNet(nn.Module):
         x = Layer(
             64, self.layer_sizes[0], False, dtype=self.dtype,
             bn_groups=self.bn_groups, fused_conv=self.fused_conv,
-            mid_round=self.mid_round, t_fold=self.t_fold, name="conv2"
+            mid_round=self.mid_round, t_fold=self.t_fold, quant=self.quant, name="conv2"
         )(x, train)
         x = Layer(
             128, self.layer_sizes[1], True, dtype=self.dtype,
             bn_groups=self.bn_groups, fused_conv=self.fused_conv,
-            mid_round=self.mid_round, t_fold=self.t_fold, name="conv3"
+            mid_round=self.mid_round, t_fold=self.t_fold, quant=self.quant, name="conv3"
         )(x, train)
         x = Layer(
             256, self.layer_sizes[2], True, dtype=self.dtype,
             bn_groups=self.bn_groups, fused_conv=self.fused_conv,
-            mid_round=self.mid_round, t_fold=self.t_fold, name="conv4"
+            mid_round=self.mid_round, t_fold=self.t_fold, quant=self.quant, name="conv4"
         )(x, train)
         x = Layer(
             512, self.layer_sizes[3], True, dtype=self.dtype,
             bn_groups=self.bn_groups, fused_conv=self.fused_conv,
-            mid_round=self.mid_round, t_fold=self.t_fold, name="conv5"
+            mid_round=self.mid_round, t_fold=self.t_fold, quant=self.quant, name="conv5"
         )(x, train)
         # global average pool over (T, H, W) -> (B, 512), f32 like the torch
         # AdaptiveAvgPool3d output feeding f32 heads

@@ -393,7 +393,8 @@ def _fwd_kernel_clip(x_ref, ws_ref, wt_ref, mean_ref, rstd_ref, scale_ref,
         mid = mid.astype(jnp.bfloat16).astype(jnp.float32)
         y = (mid - mean) * rstd * scale + bias
         y = jnp.maximum(y, 0.0).astype(jnp.bfloat16)
-        mid_ref[pl.ds(t * hw, hw), :] = y
+        # leading (untiled) dim indexing — no row-offset alignment proofs
+        mid_ref[t] = y
         return 0
 
     jax.lax.fori_loop(0, n_frames, mids, 0)
@@ -406,7 +407,7 @@ def _fwd_kernel_clip(x_ref, ws_ref, wt_ref, mean_ref, rstd_ref, scale_ref,
             mi = t - 1 + k
             valid = jnp.logical_and(mi >= 0, mi < n_frames)
             mic = jnp.clip(mi, 0, n_frames - 1)
-            contrib = jnp.dot(mid_ref[pl.ds(mic * hw, hw), :], wt_ref[k],
+            contrib = jnp.dot(mid_ref[mic], wt_ref[k],
                               preferred_element_type=jnp.float32)
             acc = acc + jnp.where(valid, contrib, 0.0)
         out_ref[0, t] = acc.reshape(h, w, cout).astype(out_dtype)
@@ -454,7 +455,7 @@ def _run_fwd_clip(x_pad, ws, wt, gmean, gvar, scale, bias, *,
         out_shape=jax.ShapeDtypeStruct((b, t, h, w, cout), out_dtype),
         scratch_shapes=[
             pltpu.VMEM((h * w, kh * kw * cin), jnp.bfloat16),  # im2col
-            pltpu.VMEM((t * h * w, m), jnp.bfloat16),          # resident mid
+            pltpu.VMEM((t, h * w, m), jnp.bfloat16),           # resident mid
         ],
         interpret=interpret,
     )(x_pad, ws.reshape(kh * kw * cin, m), wt, gmean, rstd,

@@ -94,9 +94,15 @@ class CSTPPretrain(nn.Module):
     remat: bool = False           # remat residual stages (--remat; r21d only)
     remat_policy: str = ""        # 'bnrelu' selective remat (--remat_policy)
     alpha: int = 4                # slowfast frame-rate ratio (--alpha)
-    fused_conv: bool = False      # Pallas-fused (2+1)D blocks (--fused_conv)
+    fused_conv: int = 0           # Pallas-fused (2+1)D blocks (--fused_conv:
+                                  # 1 = both towers, 2 = EMA target tower only)
     mid_round: int = 1            # lane-rounded r21d mid widths (--mid_round)
     t_fold: bool = False          # T-folded spatial convs (--t_fold)
+    quant: str = ""               # '' | 'int8' quantized fwd convs (--quant)
+    quant_scope: str = "all"      # 'all' | 'target' (--quant_scope: 'target'
+                                  # = EMA tower only — forward-only, so the
+                                  # bf16 activation copies are dead and int8
+                                  # replaces rather than duplicates storage)
     # True: the two views run through each tower as ONE batched 2B call with
     # BN groups DOUBLED so statistics stay per-view. False: two B-sized calls
     # per tower — the reference's own call pattern (r21d_byol.py:358-372).
@@ -112,23 +118,38 @@ class CSTPPretrain(nn.Module):
         g2 = 2 * self.bn_groups if self.concat_views else self.bn_groups
         extra = ({"alpha": self.alpha}
                  if self.backbone.startswith("slowfast") else {})
-        if self.fused_conv and self.backbone.startswith("r21d"):
-            extra["fused_conv"] = True
         if self.mid_round > 1 and self.backbone.startswith("r21d"):
             extra["mid_round"] = self.mid_round
         if self.t_fold and self.backbone.startswith("r21d"):
             extra["t_fold"] = True
         if self.remat_policy and self.backbone.startswith("r21d"):
             extra["remat_policy"] = self.remat_policy
+        # --fused_conv (r21d): 1 = Pallas-fused (2+1)D blocks in BOTH towers
+        # (the fused backward is an XLA recompute, so the online tower pays
+        # it); 2 = TARGET tower only — the EMA tower is forward-only (its
+        # params are stop-gradient), so mode 2 banks the kernel's forward
+        # win without ever invoking the recompute VJP.
+        fc = int(self.fused_conv)
+        extra_online = dict(extra)
+        extra_target = dict(extra)
+        if self.backbone.startswith("r21d"):
+            if fc == 1:
+                extra_online["fused_conv"] = True
+            if fc >= 1:
+                extra_target["fused_conv"] = True
+            if self.quant:
+                extra_target["quant"] = self.quant
+                if self.quant_scope == "all":
+                    extra_online["quant"] = self.quant
         self.online_net = make_backbone(
             self.backbone, self.depth, dtype=self.dtype, proj_flag=use_proj,
             bn_groups=g2, shortcut=self.shortcut, s2d_stem=self.s2d_stem,
-            remat=self.remat, name="online_net", **extra,
+            remat=self.remat, name="online_net", **extra_online,
         )
         self.target_net = make_backbone(
             self.backbone, self.depth, dtype=self.dtype, proj_flag=use_proj,
             bn_groups=g2, shortcut=self.shortcut, s2d_stem=self.s2d_stem,
-            remat=self.remat, name="target_net", **extra,
+            remat=self.remat, name="target_net", **extra_target,
         )
         self.predictor = MLPHead(spec.pred_hidden, spec.pred_dim,
                                  dtype=self.dtype, bn_groups=g2, name="predictor")
@@ -241,6 +262,7 @@ class CSTPClassify(nn.Module):
     fused_conv: bool = False      # Pallas-fused (2+1)D blocks (--fused_conv)
     mid_round: int = 1            # lane-rounded r21d mid widths (--mid_round)
     t_fold: bool = False          # T-folded spatial convs (--t_fold)
+    quant: str = ""               # '' | 'int8' quantized fwd convs (--quant)
 
     def setup(self):
         spec = backbone_spec(self.backbone, self.depth)
@@ -253,6 +275,8 @@ class CSTPClassify(nn.Module):
             extra["mid_round"] = self.mid_round
         if self.t_fold and self.backbone.startswith("r21d"):
             extra["t_fold"] = True
+        if self.quant and self.backbone.startswith("r21d"):
+            extra["quant"] = self.quant
         if self.head_style == "i3d_conv":
             # the faithful reference i3d classifier lives INSIDE the
             # backbone (I3D conv_head; i3d_byol.py:295-306) — no external

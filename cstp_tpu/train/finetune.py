@@ -57,6 +57,7 @@ def create_classify_model(config: Config, num_classes: int) -> CSTPClassify:
         fused_conv=bool(config.fused_conv),
         mid_round=config.mid_round,
         t_fold=bool(config.t_fold),
+        quant=config.quant,
     )
 
 

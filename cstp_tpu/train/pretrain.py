@@ -89,9 +89,11 @@ def create_pretrain_model(config: Config) -> CSTPPretrain:
         remat_policy=config.remat_policy,
         concat_views=bool(config.concat_views),
         alpha=config.alpha,
-        fused_conv=bool(config.fused_conv),
+        fused_conv=int(config.fused_conv),
         mid_round=config.mid_round,
         t_fold=bool(config.t_fold),
+        quant=config.quant,
+        quant_scope=config.quant_scope,
     )
 
 

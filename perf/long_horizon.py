@@ -41,6 +41,10 @@ def main(argv=None):
     ap.add_argument("--ft_epochs", type=int, default=8)
     ap.add_argument("--out_dir", default="results/long_horizon")
     ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--quant", default="", choices=["", "int8"],
+                    help="quantized fwd tower convs; use with "
+                         "--out_dir results/long_horizon_int8 "
+                         "--report docs/LEARNING_INT8.md")
     ap.add_argument("--report", default="docs/LEARNING.md")
     args = ap.parse_args(argv)
 
@@ -68,6 +72,7 @@ def main(argv=None):
         n_classes=args.n_classes, data_backend="synthetic",
         synthetic_len=256, synthetic_learnable=1,
         loss_weight=(0.1, 1.0, 1.0, 1.0, 1.0),
+        quant=args.quant,
     ).finalize()
 
     # ---- stage 1: pretrain ------------------------------------------------

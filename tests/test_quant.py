@@ -1,0 +1,135 @@
+"""int8 quantized forward convs (ops/quant.py, --quant int8)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cstp_tpu.ops.quant import _quantize_tensor, _quantize_weight, int8_conv
+
+
+@pytest.fixture
+def key():
+    return jax.random.PRNGKey(0)
+
+
+def test_quantize_roundtrip_error_bounded(key):
+    x = jax.random.normal(key, (4, 8, 8, 16), jnp.float32)
+    xq, s = _quantize_tensor(x)
+    assert xq.dtype == jnp.int8
+    err = np.abs(np.asarray(xq, np.float32) * float(s) - np.asarray(x))
+    assert err.max() <= float(s) / 2 + 1e-6  # half-ulp of the grid
+
+    w = jax.random.normal(key, (3, 3, 16, 32), jnp.float32) * 0.1
+    wq, sw = _quantize_weight(w)
+    assert sw.shape == (32,)
+    err = np.abs(np.asarray(wq, np.float32) * np.asarray(sw) - np.asarray(w))
+    assert err.max() <= float(np.asarray(sw).max()) / 2 + 1e-6
+
+
+@pytest.mark.parametrize("ndim", [4, 5])
+def test_int8_conv_close_to_float_conv(key, ndim):
+    ks = jax.random.split(key, 2)
+    if ndim == 5:
+        x = jax.random.normal(ks[0], (2, 4, 8, 8, 16), jnp.float32)
+        w = jax.random.normal(ks[1], (1, 3, 3, 16, 24), jnp.float32) * 0.1
+        stride, pad = (1, 1, 1), (0, 1, 1)
+        dn = ("NDHWC", "DHWIO", "NDHWC")
+    else:
+        x = jax.random.normal(ks[0], (2, 8, 8, 16), jnp.float32)
+        w = jax.random.normal(ks[1], (3, 3, 16, 24), jnp.float32) * 0.1
+        stride, pad = (1, 1), (1, 1)
+        dn = ("NHWC", "HWIO", "NHWC")
+    out = int8_conv(x, w, stride, pad, jnp.float32)
+    ref = jax.lax.conv_general_dilated(
+        x, w, stride, [(p, p) for p in pad], dimension_numbers=dn)
+    # per-tensor 8-bit grid: relative error ~1% of the output scale
+    scale = float(jnp.abs(ref).max())
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=0.03 * scale)
+
+
+def test_int8_conv_straight_through_gradients(key):
+    """Backward must equal the bf16 conv VJP evaluated AT THE DEQUANTIZED
+    input (the function the forward actually computed), with identity
+    estimation through round/clip."""
+    ks = jax.random.split(key, 2)
+    x = jax.random.normal(ks[0], (2, 4, 6, 6, 8), jnp.float32)
+    w = jax.random.normal(ks[1], (1, 3, 3, 8, 16), jnp.float32) * 0.1
+    stride, pad = (1, 1, 1), (0, 1, 1)
+
+    def loss(x_, w_):
+        return jnp.sum(int8_conv(x_, w_, stride, pad, jnp.float32) ** 2)
+
+    dx, dw = jax.grad(loss, argnums=(0, 1))(x, w)
+
+    xq, sx = _quantize_tensor(x)
+    xhat = (xq.astype(jnp.float32) * sx).astype(jnp.bfloat16)
+
+    def ref_loss(x_, w_):
+        out = jax.lax.conv_general_dilated(
+            x_, w_.astype(jnp.bfloat16), stride, [(p, p) for p in pad],
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+            preferred_element_type=jnp.bfloat16)
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    # cotangent entering the VJP differs (true fwd output vs bf16-chain
+    # output) only by quantization noise; compare directionally with a
+    # tolerance scaled to that noise
+    dxr, dwr = jax.grad(ref_loss, argnums=(0, 1))(xhat, w)
+    np.testing.assert_allclose(np.asarray(dx), np.asarray(dxr, np.float32),
+                               rtol=0.2, atol=0.1)
+    # dw sums B*T*H*W products of two quantization-noisy factors; elements
+    # are O(50-90) here, so allow noise-scale absolute slack on the few
+    # near-cancelling entries
+    np.testing.assert_allclose(np.asarray(dw), np.asarray(dwr, np.float32),
+                               rtol=0.2, atol=2.0)
+
+
+def test_quant_flag_builds_and_trains(key):
+    """--quant int8: same parameter tree as the float model, finite loss,
+    and a full fused pretrain step runs."""
+    from cstp_tpu.config import Config
+    from cstp_tpu.models import make_backbone
+    from cstp_tpu.parallel import create_mesh, shard_batch, shard_state
+    from cstp_tpu.train.pretrain import (
+        create_pretrain_state,
+        make_pretrain_step,
+    )
+
+    x = jax.random.normal(key, (2, 4, 16, 16, 3), jnp.float32)
+    m0 = make_backbone("r21d", 1, dtype=jnp.float32)
+    m1 = make_backbone("r21d", 1, dtype=jnp.float32, quant="int8")
+    v = m0.init(key, x, train=False)
+    assert (jax.tree_util.tree_structure(v)
+            == jax.tree_util.tree_structure(m1.init(key, x, train=False)))
+    y0, _ = m0.apply(v, x, train=True, mutable=["batch_stats"])
+    y1, _ = m1.apply(v, x, train=True, mutable=["batch_stats"])
+    # Per-layer quantization noise compounds through 17 convs, each
+    # renormalized by BN with the reference's tiny random-sign glorot
+    # scales, so random-init features only stay loosely correlated
+    # (~0.78 measured); the functional gate for --quant is the long-horizon
+    # learning-evidence harness (docs/LEARNING.md), not this smoke bound.
+    c = np.corrcoef(np.asarray(y0).ravel(), np.asarray(y1).ravel())[0, 1]
+    assert np.isfinite(np.asarray(y1)).all() and c > 0.5, c
+
+    cfg = Config(model_name="r21d", model_depth=1, sample_duration=4,
+                 sample_size=32, batch_size=4, compute_dtype="float32",
+                 quant="int8").finalize()
+    mesh = create_mesh((1, 1), devices=jax.devices()[:1])
+    model, state, tx = create_pretrain_state(cfg, jax.random.PRNGKey(0))
+    state = shard_state(mesh, state)
+    step = make_pretrain_step(model, tx, cfg)
+    rng = np.random.default_rng(0)
+    b, t = 4, 4
+    batch = shard_batch(mesh, {
+        "frames1": rng.integers(0, 255, (b, t, 48, 64, 3)).astype(np.uint8),
+        "frames2": rng.integers(0, 255, (b, t, 48, 64, 3)).astype(np.uint8),
+        "rot1": rng.integers(0, 4, (b,)).astype(np.int32),
+        "rot2": rng.integers(0, 4, (b,)).astype(np.int32),
+        "tem": rng.integers(0, 5, (b,)).astype(np.int32),
+        "pb": rng.integers(0, 4, (b,)).astype(np.int32),
+    })
+    state, metrics = step(state, jax.random.PRNGKey(1), batch,
+                          jnp.asarray(0.01, jnp.float32))
+    assert np.isfinite(float(metrics["loss"]))
