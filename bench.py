@@ -57,7 +57,8 @@ def main():
                          "(forward-only, no recompute VJP)")
     ap.add_argument("--t-fold", type=int, default=0,
                     help="T-folded spatial convs + folded BN/ReLU (r21d)")
-    ap.add_argument("--quant", default="", choices=["", "int8", "int8_fixed"],
+    ap.add_argument("--quant", default="",
+                    choices=["", "int8", "int8_fixed", "int8_static"],
                     help="quantized forward tower convs (ops/quant.py)")
     ap.add_argument("--quant-scope", default="all", choices=["all", "target"])
     ap.add_argument("--mid-round", type=int, default=1,

@@ -201,18 +201,40 @@ class Conv3d(nn.Module):
         xd = x.astype(self.dtype)
         kd = kernel.astype(self.dtype)
 
-        if self.quant.startswith("int8"):
+        if self.quant == "int8_calib":
+            # calibration pass: observe this site's activation range into a
+            # batch_stats variable (rides checkpoints and the eval-step
+            # plumbing), compute the FLOAT conv — calibration statistics
+            # must not depend on quantization noise. Run under
+            # mutable=["batch_stats"] (serve/quantize.py).
+            from cstp_tpu.ops.quant import activation_absmax_scale
+
+            sv = self.variable("batch_stats", "act_scale",
+                               lambda: jnp.zeros((), jnp.float32))
+            if not self.is_initializing():
+                sv.value = jnp.maximum(sv.value,
+                                       activation_absmax_scale(xd))
+        elif self.quant.startswith("int8"):
             from cstp_tpu.ops.quant import int8_conv
 
-            fs = 0.05 if self.quant == "int8_fixed" else None
+            if self.quant == "int8_fixed":
+                sa = 0.05
+            elif self.quant == "int8_static":
+                # calibrated per-site scale (written by an int8_calib pass;
+                # a never-calibrated site falls back to dynamic via eps)
+                sv = self.variable("batch_stats", "act_scale",
+                                   lambda: jnp.zeros((), jnp.float32))
+                sa = jnp.maximum(sv.value, 1e-8)
+            else:
+                sa = None
             if x.ndim == 4:
                 assert (kt, st, pt) == (1, 1, 0), (self.kernel, self.stride,
                                                    self.padding)
                 out = int8_conv(xd, kernel[0], (sh, sw), (ph, pw), self.dtype,
-                                fixed_scale=fs)
+                                act_scale=sa)
             else:
                 out = int8_conv(xd, kernel, self.stride, self.padding,
-                                self.dtype, fixed_scale=fs)
+                                self.dtype, act_scale=sa)
             if bias is not None:
                 out = out + bias.astype(self.dtype)
             return out

@@ -59,14 +59,15 @@ def _conv(x, w, stride, padding, acc_dtype):
     )
 
 
-def _int8_conv_fwd_impl(x, w, stride, padding, fixed_scale):
-    if fixed_scale is None:
+def _int8_conv_fwd_impl(x, w, stride, padding, act_scale, dynamic):
+    if dynamic:
         xq, sx = _quantize_tensor(x)
     else:
-        # fixed activation scale: no absmax reduce — the quantize is pure
-        # elementwise and fuses into the producer epilogue. Perf-probe /
-        # delayed-scaling building block; clips outliers beyond 127*scale.
-        sx = jnp.float32(fixed_scale)
+        # static activation scale (traced scalar — a calibrated per-site
+        # value or a fixed constant): no absmax reduce, so the quantize is
+        # pure elementwise and fuses into the producer epilogue. Clips
+        # outliers beyond 127*scale.
+        sx = act_scale.astype(jnp.float32)
         xq = jnp.clip(jnp.round(x.astype(jnp.float32) / sx), -127,
                       127).astype(jnp.int8)
     wq, sw = _quantize_weight(w)
@@ -75,34 +76,38 @@ def _int8_conv_fwd_impl(x, w, stride, padding, fixed_scale):
     return out, (xq, sx, w)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
-def _int8_conv_core(x, w, stride: Tuple[int, ...],
-                    padding: Tuple[int, ...], fixed_scale):
-    out, _ = _int8_conv_fwd_impl(x, w, stride, padding, fixed_scale)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _int8_conv_core(x, w, act_scale, stride: Tuple[int, ...],
+                    padding: Tuple[int, ...], dynamic: bool):
+    out, _ = _int8_conv_fwd_impl(x, w, stride, padding, act_scale, dynamic)
     return out
 
 
 def int8_conv(x, w, stride: Tuple[int, ...], padding: Tuple[int, ...],
-              out_dtype=jnp.bfloat16, fixed_scale=None):
+              out_dtype=jnp.bfloat16, act_scale=None):
     """int8-quantized convolution with straight-through bf16 backward.
 
     ``x``: (B, [T,] H, W, Cin) float; ``w``: ([kt,] kh, kw, Cin, Cout)
     float; ``stride``/``padding`` per spatial dim. Returns ``out_dtype``
     (the f32 dequantized result cast outside the custom-VJP core, so the
-    dtype is never a traced argument). ``fixed_scale``: None = dynamic
-    per-tensor absmax; a float = static activation scale (no reduce).
+    dtype is never a traced argument). ``act_scale``: None = dynamic
+    per-tensor absmax; a scalar (python float or traced array) = static
+    activation scale — no reduce, fuses, clips outliers.
     """
-    return _int8_conv_core(x, w, tuple(stride), tuple(padding),
-                           fixed_scale).astype(out_dtype)
+    dynamic = act_scale is None
+    sa = (jnp.zeros((), jnp.float32) if dynamic
+          else jnp.asarray(act_scale, jnp.float32))
+    return _int8_conv_core(x, w, sa, tuple(stride), tuple(padding),
+                           dynamic).astype(out_dtype)
 
 
-def _int8_conv_fwd(x, w, stride, padding, fixed_scale):
-    out, res = _int8_conv_fwd_impl(x, w, stride, padding, fixed_scale)
+def _int8_conv_fwd(x, w, act_scale, stride, padding, dynamic):
+    out, res = _int8_conv_fwd_impl(x, w, stride, padding, act_scale, dynamic)
     # zero-size carrier for x's dtype (residual leaves must be JAX types)
     return out, res + (jnp.zeros((0,), x.dtype),)
 
 
-def _int8_conv_bwd(stride, padding, fixed_scale, res, g):
+def _int8_conv_bwd(stride, padding, dynamic, res, g):
     xq, sx, w, x_proto = res
     x_dtype = x_proto.dtype
     # dequantized forward input — the point the forward actually evaluated
@@ -114,7 +119,13 @@ def _int8_conv_bwd(stride, padding, fixed_scale, res, g):
 
     _, vjp = jax.vjp(f, xhat, wb)
     dx, dw = vjp(g.astype(jnp.bfloat16))
-    return dx.astype(x_dtype), dw.astype(w.dtype)
+    # no gradient to the (calibration-owned) activation scale
+    return dx.astype(x_dtype), dw.astype(w.dtype), jnp.zeros((), jnp.float32)
 
 
 _int8_conv_core.defvjp(_int8_conv_fwd, _int8_conv_bwd)
+
+
+def activation_absmax_scale(x) -> jnp.ndarray:
+    """Calibration observation: per-tensor symmetric int8 scale of ``x``."""
+    return jnp.max(jnp.abs(x.astype(jnp.float32))) / 127.0 + _EPS

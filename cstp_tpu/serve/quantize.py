@@ -1,0 +1,163 @@
+"""Post-training int8 calibration for the serving/eval path.
+
+The eval/test/serve forward is COMPUTE-bound on v5e (no backward, BN is a
+running-stats elementwise epilogue), so int8 convs genuinely pay there —
+measured 1,686 -> 2,565 clips/s/chip (+52%) at the bench eval config
+(PERF.md round 6) — unlike the memory-bound pretrain step where every
+quantization variant lost. Dynamic per-tensor scales give most of that
+back (the absmax reduce serializes), so production inference wants STATIC
+per-site scales:
+
+  1. ``calibrate_checkpoint``: load a float checkpoint into the model in
+     ``int8_calib`` mode — every quantized conv site observes
+     ``absmax(x)/127`` of its input into a ``batch_stats['act_scale']``
+     variable (max over calibration batches; the convs themselves run in
+     float so statistics are noise-free) — and save a new checkpoint that
+     carries the scales.
+  2. Serve/test with ``--quant int8_static``: each site quantizes with its
+     calibrated scale — no reduces, quantize fuses into the producer.
+
+The scales ride the ``batch_stats`` collection, so every existing surface
+(eval step, video-level test, retrieval, AOT export) works unchanged, and
+checkpoint save/restore needs no new machinery (merge-by-name fills
+``act_scale`` with 0 when loading a float checkpoint; ``int8_static``
+treats a never-calibrated site's 0 as "clip everything" — always run step
+1 first).
+
+CLI:
+  python -m cstp_tpu.serve.quantize --md_path CKPT --out_path CKPT_int8 \\
+      --model_name r21d --model_depth 1 --data_backend synthetic ...
+(flags are the shared config surface; calibration draws batches from the
+``--data_type`` split of the configured dataset).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import sys
+from typing import Optional
+
+import numpy as np
+
+
+def calibrate_checkpoint(config, md_path: str, out_path: str,
+                         n_batches: int = 8, batch_size: int = 8,
+                         data_type: str = "train",
+                         max_videos: Optional[int] = None) -> dict:
+    """Observe per-conv-site int8 activation scales on real eval inputs and
+    write ``out_path`` = the input checkpoint + calibrated ``act_scale``
+    batch_stats. Returns the updated (host) tree."""
+    import jax
+    import jax.numpy as jnp
+
+    from cstp_tpu.augment.pipeline import eval_augment_batch
+    from cstp_tpu.ckpt import checkpoint as ckpt_lib
+    from cstp_tpu.train.finetune import create_classify_model
+    from cstp_tpu.train.loops import build_dataset
+    from cstp_tpu.train.pretrain import create_pretrain_state  # noqa: F401
+
+    num_classes = config.n_finetune_classes or config.n_classes
+    cfg = dataclasses.replace(config, quant="int8_calib").finalize()
+    model = create_classify_model(cfg, num_classes)
+    t, s = cfg.sample_duration, cfg.sample_size
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((2, t, s, s, 3), jnp.float32),
+                           train=False)
+    tree, meta = ckpt_lib.restore_checkpoint(
+        md_path, {"params": variables["params"],
+                  "batch_stats": variables["batch_stats"]})
+    params, bstats = tree["params"], tree["batch_stats"]
+
+    @jax.jit
+    def observe(bstats, frames):
+        x = eval_augment_batch(frames, sample_size=cfg.sample_size,
+                               norm_method=cfg.norm_method).astype(
+            jnp.dtype(cfg.compute_dtype))
+        _, mut = model.apply({"params": params, "batch_stats": bstats},
+                             x, train=False, mutable=["batch_stats"])
+        return mut["batch_stats"]
+
+    ds = build_dataset(cfg, data_type)
+    n = ds.num_videos() if max_videos is None else min(max_videos,
+                                                       ds.num_videos())
+    rng = np.random.default_rng(cfg.manual_seed)
+    seen = 0
+    for b in range(n_batches):
+        idx = rng.integers(0, n, (batch_size,))
+        frames = np.stack([
+            ds.read_frames(int(i), _center_indices(ds, int(i), t))
+            for i in idx])
+        bstats = observe(bstats, jnp.asarray(frames))
+        seen += batch_size
+    bstats = jax.device_get(bstats)
+    out_tree = {"params": jax.device_get(params), "batch_stats": bstats}
+    meta = dict(meta)
+    meta["int8_calibration"] = {"batches": n_batches,
+                                "batch_size": batch_size,
+                                "data_type": data_type}
+    ckpt_lib.save_checkpoint(out_path, out_tree, meta=meta)
+    scales = [float(np.asarray(v)) for k, v in _iter_scales(bstats)]
+    return {"tree": out_tree, "n_sites": len(scales),
+            "scale_min": min(scales) if scales else 0.0,
+            "scale_max": max(scales) if scales else 0.0,
+            "clips_seen": seen}
+
+
+def _center_indices(ds, i: int, t: int):
+    from cstp_tpu.train.finetune import wraparound_frame_indices
+
+    nframes, _ = ds.video_meta(i)
+    if nframes < t:
+        return wraparound_frame_indices(nframes, t, 1)
+    start = (nframes - t) // 2
+    return list(range(start, start + t))
+
+
+def _iter_scales(tree, prefix=""):
+    for k, v in tree.items():
+        path = f"{prefix}/{k}"
+        if k == "act_scale":
+            yield path, v
+        elif isinstance(v, dict):
+            yield from _iter_scales(v, path)
+
+
+def main(argv=None):
+    from cstp_tpu.config import parse_opts
+    from cstp_tpu.parallel.mesh import (
+        honor_platform_env,
+        maybe_initialize_distributed,
+    )
+
+    honor_platform_env()
+    maybe_initialize_distributed()
+    import argparse
+
+    ap = argparse.ArgumentParser(add_help=False)
+    ap.add_argument("--out_path", required=True)
+    ap.add_argument("--calib_batches", type=int, default=8)
+    ap.add_argument("--calib_batch_size", type=int, default=8)
+    ap.add_argument("--data_type", default="train")
+    own, rest = ap.parse_known_args(argv)
+    cfg = parse_opts(rest)
+    md_path = cfg.test_md_path or cfg.pretrained_path
+    if not md_path:
+        print("error: pass the float checkpoint via --test_md_path "
+              "(or --pretrained_path)", file=sys.stderr)
+        return 2
+    out = calibrate_checkpoint(cfg, md_path, own.out_path,
+                               n_batches=own.calib_batches,
+                               batch_size=own.calib_batch_size,
+                               data_type=own.data_type)
+    print(f"calibrated {out['n_sites']} conv sites over "
+          f"{out['clips_seen']} clips: act_scale in "
+          f"[{out['scale_min']:.3e}, {out['scale_max']:.3e}] -> "
+          f"{os.path.abspath(own.out_path)}")
+    print("serve/test with: --quant int8_static --test_md_path "
+          + own.out_path)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

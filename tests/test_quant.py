@@ -86,6 +86,56 @@ def test_int8_conv_straight_through_gradients(key):
                                rtol=0.2, atol=2.0)
 
 
+def test_int8_calibration_roundtrip(key, tmp_path):
+    """serve/quantize.py: a float checkpoint calibrates into per-site
+    act_scale batch_stats; the int8_static model loads it and produces
+    logits matching the float model up to quantization noise (the serving
+    deployment path — PERF.md round 6: +52% eval throughput on v5e)."""
+    import dataclasses
+
+    from cstp_tpu.ckpt import checkpoint as ckpt_lib
+    from cstp_tpu.config import Config
+    from cstp_tpu.serve.quantize import calibrate_checkpoint
+    from cstp_tpu.train.finetune import create_classify_model
+
+    cfg = Config(model_name="r21d", model_depth=1, sample_duration=4,
+                 sample_size=32, n_classes=10, n_finetune_classes=10,
+                 data_backend="synthetic", synthetic_len=8,
+                 compute_dtype="float32").finalize()
+    model = create_classify_model(cfg, 10)
+    x = jax.random.normal(key, (2, 4, 32, 32, 3), jnp.float32)
+    v = model.init(jax.random.PRNGKey(0), x, train=False)
+    float_ckpt = str(tmp_path / "save_float")
+    ckpt_lib.save_checkpoint(float_ckpt, {
+        "params": jax.device_get(v["params"]),
+        "batch_stats": jax.device_get(v["batch_stats"])},
+        meta={"arch": cfg.arch})
+
+    out_ckpt = str(tmp_path / "save_int8")
+    res = calibrate_checkpoint(cfg, float_ckpt, out_ckpt, n_batches=2,
+                               batch_size=4)
+    assert res["n_sites"] > 10          # every tower conv observed
+    assert res["scale_min"] > 0         # no site left at zero
+
+    # serve with the calibrated scales
+    cfg_q = dataclasses.replace(cfg, quant="int8_static").finalize()
+    model_q = create_classify_model(cfg_q, 10)
+    vq = model_q.init(jax.random.PRNGKey(0), x, train=False)
+    tree, _ = ckpt_lib.restore_checkpoint(
+        out_ckpt, {"params": vq["params"],
+                   "batch_stats": vq["batch_stats"]})
+    logits_f = model.apply({"params": tree["params"],
+                            "batch_stats": tree["batch_stats"]},
+                           x, train=False)
+    logits_q = model_q.apply({"params": tree["params"],
+                              "batch_stats": tree["batch_stats"]},
+                             x, train=False)
+    assert np.isfinite(np.asarray(logits_q)).all()
+    c = np.corrcoef(np.asarray(logits_f).ravel(),
+                    np.asarray(logits_q).ravel())[0, 1]
+    assert c > 0.5, c  # random-init net: loose bound (see note above)
+
+
 def test_quant_flag_builds_and_trains(key):
     """--quant int8: same parameter tree as the float model, finite loss,
     and a full fused pretrain step runs."""
