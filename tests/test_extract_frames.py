@@ -92,7 +92,11 @@ def test_done_marker_skips_reextraction(tmp_path, stub_bin):
     assert marker.read_text() == "JPG"
 
 
-def test_missing_ffmpeg_errors(tmp_path):
+def test_missing_ffmpeg_uses_cv2_fallback(tmp_path, capsys):
+    """No ffmpeg binary is not fatal anymore: the CLI notes the cv2 decoder
+    fallback and proceeds (tests/test_real_video_e2e.py drives the fallback
+    end-to-end on real mp4s). An empty tree extracts 0/0 videos -> rc 0."""
     rc = main(["--vid-dir", str(tmp_path), "--frame-dir", str(tmp_path),
                "--ffmpeg", "definitely-not-here-ffmpeg"])
-    assert rc == 2
+    assert rc == 0
+    assert "cv2 decoder" in capsys.readouterr().err

@@ -86,6 +86,37 @@ def test_int8_conv_straight_through_gradients(key):
                                rtol=0.2, atol=2.0)
 
 
+def test_quant_scope_flag_changes_towers(key):
+    """--quant_scope target quantizes ONLY the EMA tower: the online
+    tower's forward must equal the float model's, while scope 'all'
+    changes it."""
+    from cstp_tpu.config import Config
+    from cstp_tpu.train.pretrain import create_pretrain_model
+
+    x = jax.random.normal(key, (2, 4, 16, 16, 3), jnp.float32)
+    base = dict(model_name="r21d", model_depth=1, sample_duration=4,
+                sample_size=16, compute_dtype="float32")
+    m_f = create_pretrain_model(Config(**base).finalize())
+    m_t = create_pretrain_model(Config(quant="int8", quant_scope="target",
+                                       **base).finalize())
+    m_a = create_pretrain_model(Config(quant="int8", quant_scope="all",
+                                       **base).finalize())
+    v = m_f.init(jax.random.PRNGKey(0), x, x, train=False)
+
+    def online_feat(m):
+        return m.apply(v, x, method=lambda mdl, xx: mdl.online_net(
+            xx, train=False))
+
+    np.testing.assert_allclose(np.asarray(online_feat(m_f)[0]),
+                               np.asarray(online_feat(m_t)[0]),
+                               rtol=1e-6, atol=1e-6)  # target-scope: float
+    # all-scope: the online tower is quantized — outputs must differ
+    # (features at init are tiny, so assert bitwise difference, not a
+    # relative bound)
+    assert not np.array_equal(np.asarray(online_feat(m_f)[0]),
+                              np.asarray(online_feat(m_a)[0]))
+
+
 def test_int8_calibration_roundtrip(key, tmp_path):
     """serve/quantize.py: a float checkpoint calibrates into per-site
     act_scale batch_stats; the int8_static model loads it and produces
