@@ -144,3 +144,48 @@ def test_export_cli_from_checkpoint(tiny_cfg, tiny_state, tmp_path):
     live = np.asarray(
         make_logits_step(model, tiny_cfg)(state, jnp.asarray(w)))
     np.testing.assert_allclose(served.predict(w), live, rtol=2e-5, atol=2e-5)
+
+
+def test_int8_static_artifact_matches_live_logits(tiny_state, tmp_path):
+    """int8 serving ships inside the AOT artifact (PERF.md round 6: +42%
+    measured on TPU): an int8_static model with calibrated scales exports
+    to StableHLO, and the artifact's logits equal the live int8 path."""
+    import dataclasses
+
+    from cstp_tpu.ckpt import checkpoint as ckpt_lib
+    from cstp_tpu.serve.quantize import calibrate_checkpoint
+    from cstp_tpu.train.finetune import create_classify_model
+
+    model, state, _ = tiny_state
+    float_ckpt = str(tmp_path / "save_float")
+    ckpt_lib.save_checkpoint(float_ckpt, {
+        "params": jax.device_get(state.params),
+        "batch_stats": jax.device_get(state.batch_stats)}, meta={})
+
+    cfg = Config(model_name="r21d", model_depth=1, sample_duration=T,
+                 sample_size=S, n_classes=NUM_CLASSES,
+                 n_finetune_classes=NUM_CLASSES, data_backend="synthetic",
+                 synthetic_len=8, compute_dtype="float32").finalize()
+    out_ckpt = str(tmp_path / "save_int8")
+    calibrate_checkpoint(cfg, float_ckpt, out_ckpt, n_batches=2,
+                         batch_size=4)
+
+    cfg_q = dataclasses.replace(cfg, quant="int8_static").finalize()
+    model_q = create_classify_model(cfg_q, NUM_CLASSES)
+    x = jnp.zeros((2, T, S, S, 3), jnp.float32)
+    vq = model_q.init(jax.random.PRNGKey(0), x, train=False)
+    tree, _ = ckpt_lib.restore_checkpoint(
+        out_ckpt, {"params": vq["params"], "batch_stats": vq["batch_stats"]})
+
+    art = export_serving_artifact(
+        model_q, tree["params"], tree["batch_stats"],
+        num_classes=NUM_CLASSES, sample_size=S, sample_duration=T,
+        input_hw=HW, platforms=("cpu",))
+    served = ServingModel.load(art)
+    w = _windows(4, seed=1)
+    live = np.asarray(make_logits_step(model_q, cfg_q)(
+        state.replace(params=tree["params"],
+                      batch_stats=tree["batch_stats"]), jnp.asarray(w)))
+    got = served.predict(w)
+    assert np.isfinite(got).all()
+    np.testing.assert_allclose(got, live, rtol=2e-4, atol=2e-4)
