@@ -7,10 +7,15 @@ R(2+1)D (layer_sizes 1,1,1,1), 16 frames x 112^2, bf16 compute.
 
 Prints ONE JSON line on stdout:
   {"metric": "pretrain_clips_per_sec_per_chip", "value": N,
-   "unit": "clips/s/chip", "vs_baseline": N/2000}
+   "unit": "samples/s/chip", "vs_baseline": N/2000, ...}
 
-"clips" counts dataset samples (clip PAIRS — each sample pushes 2 clips
-through 3 towers), matching the reference's per-sample batch accounting.
+The headline `value` counts dataset SAMPLES (pretrain: clip PAIRS — each
+sample pushes 2 clips through 3 towers), matching the reference's
+per-sample batch accounting; `clips_per_sec_per_chip` reports the 2x
+individual-clip rate. The default pretrain run also appends the serving-
+path numbers (`eval_*`/`serve_*` float + int8_static fields) so the
+serving win/regressions are visible in the driver artifact (VERDICT r3
+#5); disable with --serving-metrics off.
 
 Diagnostics (opt-in, stderr only):
   --breakdown     time the augment and train programs separately
@@ -29,6 +34,102 @@ import numpy as np
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
+
+
+def _fill_act_scales(tree, value=0.05):
+    """Set every act_scale leaf to a nonzero constant: bench has no
+    calibrated checkpoint, and the static-quantize cost is identical for
+    any nonzero scalar (one fused divide) — only timing matters here. Real
+    serving calibrates (serve/quantize.py); uncalibrated int8_static on the
+    REAL restore paths is refused (ops/quant.py check_int8_calibrated)."""
+    import jax.numpy as jnp
+
+    out = {}
+    for k, v in tree.items():
+        if k == "act_scale":
+            out[k] = jnp.full_like(v, value)
+        elif isinstance(v, dict):
+            out[k] = _fill_act_scales(v, value)
+        else:
+            out[k] = v
+    return out
+
+
+def _measure_serving(n_dev, per_chip_bs=64, steps=8, warmup=2):
+    """eval (live jit) and serve (AOT artifact) clips/s/chip, float and
+    int8_static, at the bench flagship config — the VERDICT r3 #5 fields.
+    Same measurement discipline as the standalone modes: one DISTINCT
+    pre-staged batch per step (tunnel memoization) and a scalar-sum chain
+    (block_until_ready is unreliable through the relay)."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cstp_tpu.config import Config
+    from cstp_tpu.parallel import create_mesh, shard_batch, shard_state
+    from cstp_tpu.serve import ServingModel, export_serving_artifact
+    from cstp_tpu.train.finetune import create_finetune_state, make_eval_step
+
+    rng = np.random.default_rng(7)
+    fields = {}
+    for quant in ("", "int8_static"):
+        cfg = Config(
+            model_name="r21d", model_depth=1, sample_duration=16,
+            sample_size=112, batch_size=per_chip_bs * n_dev,
+            compute_dtype="bfloat16", mesh_shape=(n_dev, 1), task="ft_all",
+            quant=quant,
+        ).finalize()
+        mesh = create_mesh(cfg.mesh_shape, cfg.mesh_axes)
+        model, state, _ = create_finetune_state(
+            cfg, jax.random.PRNGKey(0), cfg.n_finetune_classes)
+        if quant:
+            state = state.replace(
+                batch_stats=_fill_act_scales(state.batch_stats))
+        state = shard_state(mesh, state)
+        b, t, h0, w0 = cfg.batch_size, cfg.sample_duration, 128, 171
+        batches = [shard_batch(mesh, {
+            "frames": rng.integers(0, 255, (b, t, h0, w0, 3)).astype(np.uint8),
+            "labels": np.zeros((b,), np.int32),
+        }) for _ in range(steps + warmup)]
+        for bt in batches:
+            _ = np.asarray(bt["frames"][0, 0, 0, 0, 0])
+        tag = "_int8_static" if quant else ""
+
+        estep = make_eval_step(model, cfg)
+        tot = jnp.zeros((), jnp.float32)
+        for i in range(warmup):
+            tot = tot + estep(state, batches[steps + i])["loss_sum"]
+        _ = float(tot)
+        t0 = time.perf_counter()
+        for i in range(steps):
+            tot = tot + estep(state, batches[i])["loss_sum"]
+        _ = float(tot)
+        fields[f"eval{tag}_clips_per_sec_per_chip"] = round(
+            b * steps / (time.perf_counter() - t0) / n_dev, 2)
+
+        plat = jax.devices()[0].platform
+        canonical = plat in ("cpu", "tpu", "cuda", "rocm")
+        art = export_serving_artifact(
+            model, state.params, state.batch_stats,
+            num_classes=cfg.n_finetune_classes, sample_size=cfg.sample_size,
+            sample_duration=cfg.sample_duration, input_hw=(h0, w0),
+            platforms=(plat if canonical else "tpu",),
+            check_platform=canonical)
+        call = ServingModel.load(art)._exported.call
+        tot = jnp.zeros((), jnp.float32)
+        for i in range(warmup):
+            tot = tot + call(batches[steps + i]["frames"]).sum()
+        _ = float(tot)
+        t0 = time.perf_counter()
+        for i in range(steps):
+            tot = tot + call(batches[i]["frames"]).sum()
+        _ = float(tot)
+        fields[f"serve{tag}_clips_per_sec_per_chip"] = round(
+            b * steps / (time.perf_counter() - t0) / n_dev, 2)
+        del batches, state, model, call, art
+    return fields
 
 
 def main():
@@ -58,8 +159,11 @@ def main():
     ap.add_argument("--t-fold", type=int, default=0,
                     help="T-folded spatial convs + folded BN/ReLU (r21d)")
     ap.add_argument("--quant", default="",
-                    choices=["", "int8", "int8_fixed", "int8_static"],
-                    help="quantized forward tower convs (ops/quant.py)")
+                    choices=["", "int8", "int8_fixed", "int8_static",
+                             "int8_store"],
+                    help="quantized forward tower convs (ops/quant.py); "
+                         "int8_store = s8 STORAGE chain w/ BN folded into "
+                         "the dequant epilogue (VERDICT r3 #1)")
     ap.add_argument("--quant-scope", default="all", choices=["all", "target"])
     ap.add_argument("--mid-round", type=int, default=1,
                     help="round r21d factorized mid widths to multiples of N "
@@ -88,6 +192,11 @@ def main():
                          "is stepped N times; on-device augmentation draws "
                          "fresh views per step, and the prefetcher reuses "
                          "the landed device arrays so H2D drops by N too")
+    ap.add_argument("--serving-metrics", default="auto",
+                    choices=["auto", "on", "off"],
+                    help="append eval/serve float+int8_static fields to the "
+                         "JSON line (auto = on for the default pretrain "
+                         "config, off for sweeps/diagnostics)")
     args = ap.parse_args()
     if args.e2e and args.mode != "pretrain":
         ap.error("--e2e supports --mode pretrain only")
@@ -363,11 +472,30 @@ def main():
             log("aug cost:", json.dumps(profiling.summarize(
                 aug_cost, step_s), default=str, indent=2))
 
+    serving_on = (args.serving_metrics == "on"
+                  or (args.serving_metrics == "auto"
+                      and args.mode == "pretrain" and not args.e2e
+                      and not args.breakdown and not args.cost
+                      and args.model == "r21d" and args.depth == 1
+                      and not args.quant))
+    extra = {}
+    if serving_on:
+        # free the pretrain program's device buffers before building the
+        # eval/serve states (b=64 pretrain + staged batches + eval batches
+        # would not co-reside in 16 G HBM)
+        if args.mode == "pretrain" and not args.e2e:
+            del state, batches, step
+        try:
+            extra = _measure_serving(n_dev, per_chip_bs=args.per_chip_bs)
+        except Exception as e:  # diagnostics must not kill the headline
+            log(f"serving-metrics failed: {type(e).__name__}: {e}")
+
     mode_name = {"ft": "finetune", "eval": "eval",
                  "serve": "serve"}.get(args.mode, "pretrain")
     # Dual accounting (VERDICT r2 #4): the headline `value` counts dataset
     # SAMPLES/s/chip (pretrain: clip PAIRS — each sample pushes 2 clips
-    # through 3 tower passes), matching the reference's batch accounting.
+    # through 3 tower passes), matching the reference's batch accounting —
+    # so `unit` says samples/s/chip (ADVICE r3: value+unit must agree).
     # `clips_per_sec_per_chip` counts individual clips: 2x samples for the
     # two-view pretrain step, == samples for the one-clip ft/eval/serve
     # steps. See BASELINE.md "Metric accounting".
@@ -377,10 +505,11 @@ def main():
                   f"{'_e2e' if args.e2e else ''}"
                   "_clips_per_sec_per_chip",
         "value": round(per_chip, 2),
-        "unit": "clips/s/chip",
+        "unit": "samples/s/chip",
         "vs_baseline": round(per_chip / 2000.0, 4),
         "samples_per_sec_per_chip": round(per_chip, 2),
         "clips_per_sec_per_chip": round(per_chip * clips_factor, 2),
+        **extra,
     }))
 
 

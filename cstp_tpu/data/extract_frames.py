@@ -54,31 +54,56 @@ def _extract_video_cv2(video_path: str, out_dir: str, res: int,
     cap = cv2.VideoCapture(video_path)
     if not cap.isOpened():
         raise IOError(f"cv2 cannot open {video_path!r}")
+    # STREAMING: resize+write each kept frame inside the read loop, holding
+    # at most one raw frame at a time. Buffering the whole video first
+    # (round-3 form) is multiple GB of uint8 for a typical minutes-long
+    # Kinetics clip, times --workers threads (ADVICE r3). The output
+    # schedule is unchanged: output j takes the nearest-timestamp source
+    # frame round(j*src_fps/fps) (ffmpeg -r semantics), with the tail
+    # clamped to the final frame; n_out = round(n_src*fps/src_fps) is only
+    # known at EOF, so trailing clamped outputs are emitted after the loop
+    # from the retained last frame.
+    tw = th = None
+
+    def write(fr, j):
+        nonlocal tw, th
+        if tw is None:
+            h, w = fr.shape[:2]
+            if w > h:
+                tw, th = int(round(w * res / h)), res
+            else:
+                tw, th = res, int(round(h * res / w))
+        out = cv2.resize(fr, (tw, th), interpolation=cv2.INTER_AREA)
+        cv2.imwrite(os.path.join(out_dir, "%05d.jpg" % (j + 1)), out,
+                    [cv2.IMWRITE_JPEG_QUALITY, 94])  # ffmpeg -q:v 2 class
+
     try:
         src_fps = cap.get(cv2.CAP_PROP_FPS) or fps
-        frames = []
+        i, j, last = -1, 0, None
         while True:
             ok, fr = cap.read()
             if not ok:
                 break
-            frames.append(fr)
+            i += 1
+            last = fr
+            # emit every output whose nearest source frame is this one
+            # (monotone in j, so no output is ever skipped or stalled)
+            while int(round(j * src_fps / fps)) == i:
+                write(fr, j)
+                j += 1
     finally:
         cap.release()
-    if not frames:
+    if last is None:
         raise RuntimeError("no frames decoded")
-    h, w = frames[0].shape[:2]
-    if w > h:
-        tw, th = int(round(w * res / h)), res
-    else:
-        tw, th = res, int(round(h * res / w))
-    # ffmpeg -r N: emit one frame per 1/N s, nearest source timestamp
-    n_out = max(1, int(round(len(frames) * fps / src_fps)))
-    idx = [min(len(frames) - 1, int(round(i * src_fps / fps)))
-           for i in range(n_out)]
-    for j, i in enumerate(idx):
-        fr = cv2.resize(frames[i], (tw, th), interpolation=cv2.INTER_AREA)
-        cv2.imwrite(os.path.join(out_dir, "%05d.jpg" % (j + 1)), fr,
-                    [cv2.IMWRITE_JPEG_QUALITY, 94])  # ffmpeg -q:v 2 class
+    n_src = i + 1
+    n_out = max(1, int(round(n_src * fps / src_fps)))
+    # rounding at EOF can leave the stream one frame over or under the
+    # final schedule length: trim the surplus, clamp-fill the deficit
+    for k in range(n_out, j):
+        os.remove(os.path.join(out_dir, "%05d.jpg" % (k + 1)))
+    while j < n_out:  # outputs past the last source timestamp: clamp
+        write(last, j)
+        j += 1
     return n_out
 
 

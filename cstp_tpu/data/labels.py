@@ -42,6 +42,25 @@ def parse_ucf_list(list_path: str, frame_dir: Optional[str] = None,
     return out
 
 
+def read_class_names(annotation_path: str) -> Optional[List[str]]:
+    """``classInd.txt`` id->name map (reference datasets.py:201-203): the
+    reference reads ``annotation_path/classInd.txt`` ("1 ApplyEyeMakeup"
+    per line) and indexes names by FILE ORDER (``lab_names[label]``), so the
+    leading 1-based id column is cosmetic. Returns the ordered name list,
+    or None when the file is absent (labels still come from split lists
+    either way — names only decorate test/retrieval reports)."""
+    path = os.path.join(annotation_path, "classInd.txt")
+    if not os.path.isfile(path):
+        return None
+    names = []
+    with open(path) as f:
+        for line in f:
+            parts = line.strip("\n").split(" ")
+            if len(parts) >= 2 and parts[1]:
+                names.append(parts[1])
+    return names or None
+
+
 def parse_kinetics_list(list_path: str) -> List[VideoRecord]:
     """Kinetics ``path  label  [nframes]`` (double-space; datasets.py:1283-1289).
 

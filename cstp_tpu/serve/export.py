@@ -192,6 +192,10 @@ def export_from_checkpoint(config, ckpt_path: str, num_classes: int,
         config, jax.random.PRNGKey(config.manual_seed), num_classes)
     tree, meta = ckpt_lib.restore_checkpoint(
         ckpt_path, {"params": state.params, "batch_stats": state.batch_stats})
+    if config.quant == "int8_static":
+        from cstp_tpu.ops.quant import check_int8_calibrated
+
+        check_int8_calibrated(tree["batch_stats"], "serve export")
     return export_serving_artifact(
         model, tree["params"], tree["batch_stats"],
         num_classes=num_classes, sample_size=config.sample_size,

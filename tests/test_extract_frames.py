@@ -4,6 +4,8 @@ binaries are exercised identically — argv-level contract)."""
 import os
 import stat
 
+import numpy as np
+
 import pytest
 
 from cstp_tpu.data.extract_frames import main, scale_arg
@@ -100,3 +102,34 @@ def test_missing_ffmpeg_uses_cv2_fallback(tmp_path, capsys):
                "--ffmpeg", "definitely-not-here-ffmpeg"])
     assert rc == 0
     assert "cv2 decoder" in capsys.readouterr().err
+
+
+def test_cv2_fallback_streams_and_trims_resample_edge(tmp_path):
+    """The streaming cv2 fallback (ADVICE r3: no whole-video buffering)
+    must produce EXACTLY the nearest-timestamp schedule of ffmpeg -r,
+    including the EOF rounding edge where the in-loop emission runs one
+    frame past the final schedule length (n_src=3 @30fps -> 25fps gives
+    n_out=2 but 3 in-loop emissions: the surplus file must be trimmed)."""
+    cv2 = pytest.importorskip("cv2")
+    from cstp_tpu.data.extract_frames import _extract_video_cv2
+
+    h, w = 32, 48
+    for n_src, src_fps, fps, want in [(3, 30, 25, 2),   # trim edge
+                                      (10, 25, 30, 12),  # upsample + clamp
+                                      (40, 12, 12, 40)]:  # identity
+        path = str(tmp_path / f"v_{n_src}_{src_fps}_{fps}.mp4")
+        wtr = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"),
+                              src_fps, (w, h))
+        assert wtr.isOpened()
+        rng = np.random.default_rng(n_src)
+        for t in range(n_src):
+            fr = np.full((h, w, 3), (t * 37) % 256, np.uint8)
+            wtr.write(fr)
+        del rng
+        wtr.release()
+        out_dir = str(tmp_path / f"out_{n_src}_{src_fps}_{fps}")
+        os.makedirs(out_dir)
+        n = _extract_video_cv2(path, out_dir, res=h, fps=fps)
+        files = sorted(f for f in os.listdir(out_dir) if f.endswith(".jpg"))
+        assert n == want, (n_src, src_fps, fps, n)
+        assert files == ["%05d.jpg" % (i + 1) for i in range(want)], files
