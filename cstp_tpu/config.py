@@ -180,8 +180,12 @@ class Config:
     mid_round: int = 1                      # round r21d factorized mid
     t_fold: int = 0                         # T-folded spatial convs + folded
                                             # BN/ReLU (r21d; PERF.md r3 combo)
-    quant: str = ""                         # '' | 'int8': quantized forward
-                                            # tower convs (ops/quant.py)
+    quant: str = ""                         # '' | int8 | int8_fixed:
+                                            # quantized fwd convs; int8_store:
+                                            # s8 STORAGE chain (BN folded into
+                                            # dequant epilogue, s8 residuals);
+                                            # int8_static/int8_calib:
+                                            # eval/serve only (ops/quant.py)
     quant_scope: str = "all"                # 'all' | 'target': which towers
                                             # quantize (pretrain only)
                                             # channels to multiples of N
@@ -331,7 +335,7 @@ def _add_args(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--t_fold", default=c.t_fold, type=int)
     parser.add_argument("--quant", default=c.quant,
                         choices=["", "int8", "int8_fixed", "int8_static",
-                                 "int8_calib"])
+                                 "int8_calib", "int8_store"])
     parser.add_argument("--quant_scope", default=c.quant_scope,
                         choices=["all", "target"])
     parser.add_argument("--legacy_pace", default=c.legacy_pace, type=int)

@@ -220,8 +220,12 @@ class Conv3d(nn.Module):
             if self.quant == "int8_fixed":
                 sa = 0.05
             elif self.quant == "int8_static":
-                # calibrated per-site scale (written by an int8_calib pass;
-                # a never-calibrated site falls back to dynamic via eps)
+                # calibrated per-site scale (written by an int8_calib pass).
+                # A never-calibrated site (act_scale == 0) would quantize
+                # with the 1e-8 floor — clipping every activation to +/-127
+                # and dequantizing to ~0 — so the eval/test/retrieval/serve
+                # restore paths refuse uncalibrated checkpoints up front
+                # (ops/quant.py check_int8_calibrated; ADVICE r3).
                 sv = self.variable("batch_stats", "act_scale",
                                    lambda: jnp.zeros((), jnp.float32))
                 sa = jnp.maximum(sv.value, 1e-8)
@@ -426,6 +430,74 @@ class SpatioTemporalConv(nn.Module):
         # platform name (see serve/export.py check_platform note).
         fused_ok = (self.fused and jax.default_backend()
                     not in ("cpu", "gpu", "cuda", "rocm", "metal"))
+        if self.quant in ("int8_store", "int8_store_calib") and x.ndim == 5:
+            # --quant int8_store: s8 as the STORAGE dtype of the whole
+            # spatial-conv -> BN -> ReLU -> temporal-conv chain, BN folded
+            # into the dequant epilogue so the bf16 mid activation never
+            # reaches HBM, and s8 saved residuals for backward
+            # (ops/quant.py int8_store_chain — the VERDICT r3 #1 lever; the
+            # reference chain being re-stored: r21d_byol.py:94-97).
+            # 'int8_store_calib' is the one-batch float bootstrap pass that
+            # seeds the delayed activation scales (make_pretrain_step runs
+            # it automatically before step 0); eval mode also runs float.
+            assert not (self.s2d or self.t_fold or self.fused), \
+                "--quant int8_store is exclusive with s2d/t_fold/fused_conv"
+            from cstp_tpu.ops.quant import float_store_chain, int8_store_chain
+
+            ws = Conv3d(mid, (1, kh, kw), (1, 1, 1), (0, ph, pw),
+                        dtype=self.dtype, name="spatial_conv",
+                        param_only=True)(x)
+            scale, bias, ra_mean, ra_var = _BNParams(mid, name="bn")()
+            wt = Conv3d(self.features, (kt, 1, 1), (1, 1, 1), (pt, 0, 0),
+                        dtype=self.dtype, name="temporal_conv",
+                        param_only=True)(jnp.zeros((1, 1, 1, 1, mid),
+                                                   x.dtype))
+            zscalar = lambda: jnp.zeros((), jnp.float32)  # noqa: E731
+            sv_in = self.variable("batch_stats", "act_scale_in", zscalar)
+            sv_mid = self.variable("batch_stats", "act_scale_mid", zscalar)
+            sv_act = self.variable("batch_stats", "act_scale_act", zscalar)
+            stride_s, pad_s = (1, sh, sw), (0, ph, pw)
+            stride_t, pad_t = (st, 1, 1), (pt, 0, 0)
+            if self.quant == "int8_store_calib" or not train:
+                out, gmean, gvar, (a_in, a_mid, a_act) = float_store_chain(
+                    x, ws, wt, scale, bias, self.bn_groups,
+                    stride_s, pad_s, stride_t, pad_t, train,
+                    ra_mean.value, ra_var.value, self.dtype)
+                if train and not self.is_initializing():
+                    # bootstrap: seed the delayed scales with this batch's
+                    # exact absmax; update running stats like a train step
+                    sv_in.value = jnp.maximum(sv_in.value, a_in)
+                    sv_mid.value = jnp.maximum(sv_mid.value, a_mid)
+                    sv_act.value = jnp.maximum(sv_act.value, a_act)
+                    ra_mean.value = (0.9 * ra_mean.value
+                                     + 0.1 * jnp.mean(gmean, axis=0))
+                    ra_var.value = (0.9 * ra_var.value
+                                    + 0.1 * jnp.mean(gvar, axis=0))
+                return out.astype(self.dtype)
+            # DELAYED scales: quantize with the previous step's running
+            # absmax (batch_stats), never a same-step reduce — the quantize
+            # stays a pure elementwise epilogue. The 1e-6 floor only guards
+            # division; training must seed scales via the calib pass first
+            # (make_pretrain_step does).
+            out, gmean, gvar, a_in, a_mid, a_act = int8_store_chain(
+                x, ws, wt, scale, bias,
+                jnp.maximum(sv_in.value, 1e-6),
+                jnp.maximum(sv_mid.value, 1e-6),
+                jnp.maximum(sv_act.value, 1e-6),
+                stride_s, pad_s, stride_t, pad_t, self.bn_groups)
+            if not self.is_initializing():
+                # running max with slow decay: tracks absmax growth fast,
+                # shrinks slowly; exact (pre-quantization) observations so
+                # clipping cannot feed back into the scale
+                decay = jnp.float32(0.999)
+                sv_in.value = jnp.maximum(decay * sv_in.value, a_in)
+                sv_mid.value = jnp.maximum(decay * sv_mid.value, a_mid)
+                sv_act.value = jnp.maximum(decay * sv_act.value, a_act)
+                ra_mean.value = (0.9 * ra_mean.value
+                                 + 0.1 * jnp.mean(gmean, axis=0))
+                ra_var.value = (0.9 * ra_var.value
+                                + 0.1 * jnp.mean(gvar, axis=0))
+            return out
         if (fused_ok and train and self.stride == (1, 1, 1)
                 and (kt, pt) == (3, 1) and (ph, pw) == (kh // 2, kw // 2)):
             from cstp_tpu.ops.pallas.conv21d import fused_st_conv

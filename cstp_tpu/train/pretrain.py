@@ -137,6 +137,20 @@ def split_pretrain_step(model: CSTPPretrain, tx, config: Config):
     return _build_pretrain_programs(model, tx, config)
 
 
+def _check_trainable_quant(config: Config, context: str) -> None:
+    """Reject eval-only --quant modes on the TRAINING steps (ADVICE r3):
+    ``int8_static`` would quantize with the zero-initialized act_scale
+    batch_stats (every activation clips to ~0) and ``int8_calib`` mutates
+    batch_stats in ways the jitted train step does not declare. Both are
+    serving/calibration modes; training uses '' / int8 / int8_fixed."""
+    if config.quant in ("int8_static", "int8_calib"):
+        raise ValueError(
+            f"--quant {config.quant} is an eval/serve/calibration mode and "
+            f"cannot drive the {context} TRAINING step (see "
+            "serve/quantize.py). Use --quant '' (float), int8, or "
+            "int8_fixed for training.")
+
+
 def make_pretrain_step(model: CSTPPretrain, tx, config: Config):
     """Returns step(state, rng, batch, lr) -> (state, metrics).
 
@@ -152,12 +166,39 @@ def make_pretrain_step(model: CSTPPretrain, tx, config: Config):
     while the extra dispatch costs only a few ms. Keep them split;
     ``split_pretrain_step`` exposes them for profiling.
     """
+    _check_trainable_quant(config, "pretrain")
     augment, train = _build_pretrain_programs(model, tx, config)
+
+    bootstrap = None
+    if config.quant == "int8_store":
+        # --quant int8_store uses DELAYED activation scales (previous-step
+        # running absmax in batch_stats). Seed them with one FLOAT
+        # observation pass on the first batch ('int8_store_calib' — same
+        # param tree, convs in float, scales observed exactly) so step 0
+        # never quantizes against the zero-initialized scales. Idempotent
+        # on resume (running-max observation).
+        import dataclasses as _dc
+
+        calib_model = create_pretrain_model(
+            _dc.replace(config, quant="int8_store_calib"))
+
+        @jax.jit
+        def bootstrap(params, batch_stats, v1, v2):
+            _, mut = calib_model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                v1, v2, train=True, mutable=["batch_stats"])
+            return mut["batch_stats"]
+
+    pending = {"bootstrap": bootstrap is not None}
 
     def step(state: TrainState, rng: jax.Array, batch: Dict[str, jnp.ndarray],
              lr: jnp.ndarray):
         v1, v2, spa = augment(rng, batch["frames1"], batch["frames2"],
                               batch["rot1"], batch["rot2"])
+        if pending["bootstrap"]:
+            state = state.replace(batch_stats=bootstrap(
+                state.params, state.batch_stats, v1, v2))
+            pending["bootstrap"] = False
         views_labels = (v1, v2, spa, batch["tem"], batch["pb"],
                         batch["rot1"], batch["rot2"])
         return train(state, views_labels, lr)
@@ -371,7 +412,21 @@ def make_preaugmented_step(model: CSTPPretrain, tx, config: Config):
             + w[3] * (cross_entropy(p_pb1, batch["pb"]) + cross_entropy(p_pb2, batch["pb"]))
             + w[4] * (cross_entropy(p_rot1, batch["rot1"]) + cross_entropy(p_rot2, batch["rot2"]))
         )
-        return total, ({"loss": total, "loss_byol": byol}, mutated["batch_stats"])
+
+        def _acc(*pairs):
+            return jnp.mean(jnp.stack([
+                jnp.argmax(p, -1) == y for p, y in pairs
+            ]).astype(jnp.float32))
+
+        metrics = {
+            "loss": total, "loss_byol": byol,
+            # per-head accuracies (long-horizon cross-framework parity)
+            "acc_spa": _acc((p_spa, batch["spa"])),
+            "acc_tem": _acc((p_tem, batch["tem"])),
+            "acc_pb": _acc((p_pb1, batch["pb"]), (p_pb2, batch["pb"])),
+            "acc_rot": _acc((p_rot1, batch["rot1"]), (p_rot2, batch["rot2"])),
+        }
+        return total, (metrics, mutated["batch_stats"])
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state, batch, lr):

@@ -41,8 +41,10 @@ def main(argv=None):
     ap.add_argument("--ft_epochs", type=int, default=8)
     ap.add_argument("--out_dir", default="results/long_horizon")
     ap.add_argument("--dtype", default="bfloat16")
-    ap.add_argument("--quant", default="", choices=["", "int8"],
-                    help="quantized fwd tower convs; use with "
+    ap.add_argument("--quant", default="",
+                    choices=["", "int8", "int8_store"],
+                    help="quantized fwd tower convs (int8) or the s8 "
+                         "STORAGE chain (int8_store); use with "
                          "--out_dir results/long_horizon_int8 "
                          "--report docs/LEARNING_INT8.md")
     ap.add_argument("--report", default="docs/LEARNING.md")

@@ -214,3 +214,196 @@ def test_quant_flag_builds_and_trains(key):
     state, metrics = step(state, jax.random.PRNGKey(1), batch,
                           jnp.asarray(0.01, jnp.float32))
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_check_int8_calibrated_guards(key):
+    """ADVICE r3: uncalibrated int8_static must be refused up front, not
+    silently clip every activation to ~0."""
+    from cstp_tpu.ops.quant import check_int8_calibrated
+
+    good = {"backbone": {"conv1": {"act_scale": np.float32(0.04)},
+                         "layer1": {"spatial_conv": {
+                             "act_scale": np.float32(0.1)}}}}
+    assert check_int8_calibrated(good, "test") == 2
+
+    one_zero = {"a": {"act_scale": np.float32(0.04)},
+                "b": {"act_scale": np.float32(0.0)}}
+    with pytest.raises(ValueError, match="uncalibrated"):
+        check_int8_calibrated(one_zero, "test")
+
+    with pytest.raises(ValueError, match="no act_scale sites"):
+        check_int8_calibrated({"bn": {"mean": np.zeros(4)}}, "test")
+
+
+def test_eval_only_quant_modes_rejected_on_train_steps(key):
+    """ADVICE r3: int8_static / int8_calib are serving/calibration modes —
+    the TRAIN step factories refuse them."""
+    import optax
+
+    from cstp_tpu.config import Config
+    from cstp_tpu.train.finetune import make_finetune_step
+    from cstp_tpu.train.pretrain import make_pretrain_step
+
+    for quant in ("int8_static", "int8_calib"):
+        cfg = Config(model_name="r21d", model_depth=1, sample_duration=4,
+                     sample_size=32, batch_size=4, quant=quant,
+                     task="ft_all").finalize()
+        with pytest.raises(ValueError, match="eval/serve/calibration"):
+            make_pretrain_step(None, optax.sgd(0.1), cfg)
+        with pytest.raises(ValueError, match="eval/serve/calibration"):
+            make_finetune_step(None, optax.sgd(0.1), cfg)
+
+
+def test_calibrate_checkpoint_rejects_siteless_backbone(tmp_path):
+    """ADVICE r3: calibrating a backbone with no quantized conv sites must
+    fail loudly instead of writing a checkpoint that looks calibrated."""
+    import jax as _jax
+
+    from cstp_tpu.ckpt import checkpoint as ckpt_lib
+    from cstp_tpu.config import Config
+    from cstp_tpu.serve.quantize import calibrate_checkpoint
+    from cstp_tpu.train.finetune import create_finetune_state
+
+    cfg = Config(model_name="i3d", model_depth=1, sample_duration=8,
+                 sample_size=64, batch_size=2, n_finetune_classes=5,
+                 data_backend="synthetic", synthetic_len=8,
+                 compute_dtype="float32", task="ft_all").finalize()
+    model, state, _ = create_finetune_state(cfg, _jax.random.PRNGKey(0), 5)
+    float_ckpt = str(tmp_path / "float_ckpt")
+    ckpt_lib.save_checkpoint(float_ckpt, {
+        "params": jax.device_get(state.params),
+        "batch_stats": jax.device_get(state.batch_stats)},
+        meta={"arch": cfg.arch})
+    with pytest.raises(ValueError, match="0 conv sites"):
+        calibrate_checkpoint(cfg, float_ckpt, str(tmp_path / "int8_ckpt"),
+                             n_batches=1, batch_size=2)
+
+
+# ---------------------------------------------------------------------------
+# --quant int8_store: s8 STORAGE chain (VERDICT r3 #1)
+# ---------------------------------------------------------------------------
+
+
+def _chain_shapes(key, b=4, t=4, s=8, cin=8, mid=12, cout=16, kt=3):
+    ks = jax.random.split(key, 6)
+    x = jax.random.normal(ks[0], (b, t, s, s, cin), jnp.float32)
+    ws = jax.random.normal(ks[1], (1, 3, 3, cin, mid), jnp.float32) * 0.2
+    wt = jax.random.normal(ks[2], (kt, 1, 1, mid, cout), jnp.float32) * 0.2
+    gamma = 1.0 + 0.1 * jax.random.normal(ks[3], (mid,), jnp.float32)
+    beta = 0.1 * jax.random.normal(ks[4], (mid,), jnp.float32)
+    return x, ws, wt, gamma, beta
+
+
+@pytest.mark.parametrize("groups", [1, 2])
+def test_int8_store_chain_matches_float_chain(key, groups):
+    """Forward of the s8-storage chain ~= the float chain when the delayed
+    scales equal the exact absmax scales (one-step-converged case)."""
+    from cstp_tpu.ops.quant import float_store_chain, int8_store_chain
+
+    x, ws, wt, gamma, beta = _chain_shapes(key)
+    args = ((1, 1, 1), (0, 1, 1), (1, 1, 1), (1, 0, 0))
+    ref, gmean_f, gvar_f, (a_in, a_mid, a_act) = float_store_chain(
+        x, ws, wt, gamma, beta, groups, *args, True, None, None, jnp.float32)
+    out, gmean, gvar, o_in, o_mid, o_act = int8_store_chain(
+        x, ws, wt, gamma, beta, a_in, a_mid, a_act, *args, groups)
+    # observations re-derived inside the chain match the float chain's
+    np.testing.assert_allclose(float(o_in), float(a_in), rtol=1e-6)
+    # group stats computed from the QUANTIZED mid: close to float stats
+    np.testing.assert_allclose(np.asarray(gmean), np.asarray(gmean_f),
+                               atol=5e-3)
+    np.testing.assert_allclose(np.asarray(gvar), np.asarray(gvar_f),
+                               atol=2e-2)
+    scale = float(jnp.abs(ref).max())
+    # three quantization stages compound: ~2-3% of output range
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=0.06 * scale)
+
+
+def test_int8_store_chain_gradients_close_to_float(key):
+    """STE backward: grads of the s8 chain track the float chain's grads
+    (evaluated at converged scales) for every differentiable input."""
+    from cstp_tpu.ops.quant import float_store_chain, int8_store_chain
+
+    x, ws, wt, gamma, beta = _chain_shapes(key)
+    args = ((1, 1, 1), (0, 1, 1), (1, 1, 1), (1, 0, 0))
+    _, _, _, (a_in, a_mid, a_act) = float_store_chain(
+        x, ws, wt, gamma, beta, 2, *args, True, None, None, jnp.float32)
+
+    def loss_q(x, ws, wt, gamma, beta):
+        out = int8_store_chain(x, ws, wt, gamma, beta, a_in, a_mid, a_act,
+                               *args, 2)[0]
+        return jnp.sum(out * jnp.cos(jnp.arange(out.size, dtype=jnp.float32)
+                                     .reshape(out.shape)))
+
+    def loss_f(x, ws, wt, gamma, beta):
+        out = float_store_chain(x, ws, wt, gamma, beta, 2, *args, True,
+                                None, None, jnp.float32)[0]
+        return jnp.sum(out * jnp.cos(jnp.arange(out.size, dtype=jnp.float32)
+                                     .reshape(out.shape)))
+
+    gq = jax.grad(loss_q, argnums=(0, 1, 2, 3, 4))(x, ws, wt, gamma, beta)
+    gf = jax.grad(loss_f, argnums=(0, 1, 2, 3, 4))(x, ws, wt, gamma, beta)
+    for q, f, name in zip(gq, gf, ("x", "ws", "wt", "gamma", "beta")):
+        qn, fn = np.asarray(q, np.float32), np.asarray(f, np.float32)
+        denom = np.abs(fn).max() + 1e-6
+        # direction: strong cosine alignment is the load-bearing check
+        cos = (qn * fn).sum() / (np.linalg.norm(qn) * np.linalg.norm(fn)
+                                 + 1e-12)
+        assert cos > 0.98, (name, cos)
+        # pointwise: bf16 backward + 3 compounding int8 grids are coarse at
+        # this tiny scale (measured maxima ~0.23 of the grad range); 0.35
+        # still catches structural errors (a wrong BN term shifts ~1.0)
+        assert np.abs(qn - fn).max() / denom < 0.35, name
+
+
+def test_int8_store_pretrain_bootstraps_and_trains(key):
+    """End-to-end: make_pretrain_step with --quant int8_store seeds the
+    delayed scales on the first batch (float observation pass), then trains
+    with finite loss; scales are nonzero and running stats move. Param tree
+    is IDENTICAL to the float model's (checkpoint interchange)."""
+    import numpy as _np
+
+    from cstp_tpu.config import Config
+    from cstp_tpu.train.pretrain import create_pretrain_state, make_pretrain_step
+
+    cfg = Config(model_name="r21d", model_depth=1, sample_duration=4,
+                 sample_size=32, batch_size=4, compute_dtype="float32",
+                 quant="int8_store").finalize()
+    model, state, tx = create_pretrain_state(cfg, jax.random.PRNGKey(0))
+    cfg_f = Config(model_name="r21d", model_depth=1, sample_duration=4,
+                   sample_size=32, batch_size=4,
+                   compute_dtype="float32").finalize()
+    _, state_f, _ = create_pretrain_state(cfg_f, jax.random.PRNGKey(0))
+    assert (jax.tree_util.tree_structure(state.params)
+            == jax.tree_util.tree_structure(state_f.params))
+
+    step = make_pretrain_step(model, tx, cfg)
+    rng = _np.random.default_rng(0)
+    b, t, h0, w0 = 4, 4, 48, 64
+    batch = {
+        "frames1": rng.integers(0, 255, (b, t, h0, w0, 3)).astype(_np.uint8),
+        "frames2": rng.integers(0, 255, (b, t, h0, w0, 3)).astype(_np.uint8),
+        "rot1": rng.integers(0, 4, (b,)).astype(_np.int32),
+        "rot2": rng.integers(0, 4, (b,)).astype(_np.int32),
+        "tem": rng.integers(0, 5, (b,)).astype(_np.int32),
+        "pb": rng.integers(0, 4, (b,)).astype(_np.int32),
+    }
+    losses = []
+    for i in range(3):
+        state, metrics = step(state, jax.random.PRNGKey(i + 1), batch,
+                              jnp.asarray(0.01, jnp.float32))
+        losses.append(float(metrics["loss"]))
+    assert all(np.isfinite(l) for l in losses), losses
+
+    scales = []
+
+    def walk(tree):
+        for k, v in tree.items():
+            if k.startswith("act_scale_"):
+                scales.append(float(np.asarray(v)))
+            elif isinstance(v, dict):
+                walk(v)
+
+    walk(jax.device_get(state.batch_stats))
+    assert scales and all(s > 0 for s in scales), \
+        (len(scales), min(scales) if scales else None)
