@@ -160,7 +160,7 @@ def main():
                     help="T-folded spatial convs + folded BN/ReLU (r21d)")
     ap.add_argument("--quant", default="",
                     choices=["", "int8", "int8_fixed", "int8_static",
-                             "int8_store"],
+                             "int8_store", "int8_store_fz"],
                     help="quantized forward tower convs (ops/quant.py); "
                          "int8_store = s8 STORAGE chain w/ BN folded into "
                          "the dequant epilogue (VERDICT r3 #1)")

@@ -335,7 +335,7 @@ def _add_args(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--t_fold", default=c.t_fold, type=int)
     parser.add_argument("--quant", default=c.quant,
                         choices=["", "int8", "int8_fixed", "int8_static",
-                                 "int8_calib", "int8_store"])
+                                 "int8_calib", "int8_store", "int8_store_fz"])
     parser.add_argument("--quant_scope", default=c.quant_scope,
                         choices=["all", "target"])
     parser.add_argument("--legacy_pace", default=c.legacy_pace, type=int)

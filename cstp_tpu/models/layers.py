@@ -430,7 +430,8 @@ class SpatioTemporalConv(nn.Module):
         # platform name (see serve/export.py check_platform note).
         fused_ok = (self.fused and jax.default_backend()
                     not in ("cpu", "gpu", "cuda", "rocm", "metal"))
-        if self.quant in ("int8_store", "int8_store_calib") and x.ndim == 5:
+        if (self.quant in ("int8_store", "int8_store_fz",
+                           "int8_store_calib") and x.ndim == 5):
             # --quant int8_store: s8 as the STORAGE dtype of the whole
             # spatial-conv -> BN -> ReLU -> temporal-conv chain, BN folded
             # into the dequant epilogue so the bf16 mid activation never
@@ -479,20 +480,28 @@ class SpatioTemporalConv(nn.Module):
             # stays a pure elementwise epilogue. The 1e-6 floor only guards
             # division; training must seed scales via the calib pass first
             # (make_pretrain_step does).
+            # 'int8_store_fz': frozen scales — no in-chain absmax
+            # observations. The observation reduces force the quantize/
+            # normalize chains to materialize as standalone kernels (their
+            # reduce results must be kernel outputs), costing +208 ms of
+            # loop fusions on the b=64 step (PERF.md round 7); frozen mode
+            # keeps the bootstrap-seeded scales for the whole run.
+            observe = self.quant == "int8_store"
             out, gmean, gvar, a_in, a_mid, a_act = int8_store_chain(
                 x, ws, wt, scale, bias,
                 jnp.maximum(sv_in.value, 1e-6),
                 jnp.maximum(sv_mid.value, 1e-6),
                 jnp.maximum(sv_act.value, 1e-6),
-                stride_s, pad_s, stride_t, pad_t, self.bn_groups)
+                stride_s, pad_s, stride_t, pad_t, self.bn_groups, observe)
             if not self.is_initializing():
-                # running max with slow decay: tracks absmax growth fast,
-                # shrinks slowly; exact (pre-quantization) observations so
-                # clipping cannot feed back into the scale
-                decay = jnp.float32(0.999)
-                sv_in.value = jnp.maximum(decay * sv_in.value, a_in)
-                sv_mid.value = jnp.maximum(decay * sv_mid.value, a_mid)
-                sv_act.value = jnp.maximum(decay * sv_act.value, a_act)
+                if observe:
+                    # running max with slow decay: tracks absmax growth
+                    # fast, shrinks slowly; exact (pre-quantization)
+                    # observations so clipping cannot feed back
+                    decay = jnp.float32(0.999)
+                    sv_in.value = jnp.maximum(decay * sv_in.value, a_in)
+                    sv_mid.value = jnp.maximum(decay * sv_mid.value, a_mid)
+                    sv_act.value = jnp.maximum(decay * sv_act.value, a_act)
                 ra_mean.value = (0.9 * ra_mean.value
                                  + 0.1 * jnp.mean(gmean, axis=0))
                 ra_var.value = (0.9 * ra_var.value

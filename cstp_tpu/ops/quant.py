@@ -181,16 +181,25 @@ def _bshape(x):
 
 
 def _store_chain_fwd_impl(x, ws, wt, gamma, beta, s_in, s_mid, s_act,
-                          stride_s, pad_s, stride_t, pad_t, groups):
+                          stride_s, pad_s, stride_t, pad_t, groups,
+                          observe=True):
     f32 = jnp.float32
     xf = x.astype(f32)
-    a_in = jnp.max(jnp.abs(xf)) / 127.0 + _EPS
+    # observe=False (frozen scales): skip the absmax observation reduces.
+    # Measured motivation (PERF.md round 7): each observation is a full
+    # reduce whose result must be a KERNEL OUTPUT, which forces the
+    # quantize/normalize elementwise chains to materialize as standalone
+    # multi-output passes instead of input-fusing into the consumer conv —
+    # the +208 ms loop-fusion regression of the observing chain.
+    a_in = (jnp.max(jnp.abs(xf)) / 127.0 + _EPS if observe
+            else jnp.zeros((), f32))
     xq = _q(xf, s_in)
     wsq, sws = _quantize_weight(ws)
     oi = _conv(xq, wsq, stride_s, pad_s, jnp.int32)
     h = oi.astype(f32) * (s_in * sws)          # epilogue-only f32 mid
-    a_mid = jnp.max(jnp.abs(h)) / 127.0 + _EPS  # pre-quant absmax: no
-    hq = _q(h, s_mid)                           # clipping feedback loop
+    a_mid = (jnp.max(jnp.abs(h)) / 127.0 + _EPS if observe  # pre-quant
+             else jnp.zeros((), f32))          # absmax: no clip feedback
+    hq = _q(h, s_mid)
     hh = hq.astype(f32) * s_mid                 # stats match the s8 values
     spatial = tuple(range(1, hh.ndim - 1))
     pmean = jnp.mean(hh, axis=spatial)
@@ -203,7 +212,8 @@ def _store_chain_fwd_impl(x, ws, wt, gamma, beta, s_in, s_mid, s_act,
     inv_b = jax.lax.rsqrt(var_b + 1e-5).reshape(bs)
     xnorm = (hh - mean_b.reshape(bs)) * inv_b
     y1 = jax.nn.relu(xnorm * gamma + beta)
-    a_act = jnp.max(y1) / 127.0 + _EPS          # y1 >= 0
+    a_act = (jnp.max(y1) / 127.0 + _EPS if observe  # y1 >= 0
+             else jnp.zeros((), f32))
     yq = _q(y1, s_act)
     wtq, swt = _quantize_weight(wt)
     oj = _conv(yq, wtq, stride_t, pad_t, jnp.int32)
@@ -213,9 +223,10 @@ def _store_chain_fwd_impl(x, ws, wt, gamma, beta, s_in, s_mid, s_act,
     return (out, gmean, gvar, a_in, a_mid, a_act), res
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12, 13))
 def int8_store_chain(x, ws, wt, gamma, beta, s_in, s_mid, s_act,
-                     stride_s, pad_s, stride_t, pad_t, groups):
+                     stride_s, pad_s, stride_t, pad_t, groups,
+                     observe=True):
     """spatial conv -> grouped-BN -> ReLU -> temporal conv with s8 STORAGE.
 
     ``x``: (B, T, H, W, Cin); ``ws``: (1, kh, kw, Cin, M) (passed as its
@@ -225,21 +236,23 @@ def int8_store_chain(x, ws, wt, gamma, beta, s_in, s_mid, s_act,
     step's running absmax, from batch_stats). Returns
     ``(out, gmean, gvar, a_in, a_mid, a_act)``: the chain output, the
     per-group batch statistics (for running-stat EMA), and the three exact
-    absmax observations (for the scale updates). Only ``out`` carries
-    gradient."""
+    absmax observations (for the scale updates; zeros when
+    ``observe=False``). Only ``out`` carries gradient."""
     out, _ = _store_chain_fwd_impl(x, ws, wt, gamma, beta, s_in, s_mid,
                                    s_act, stride_s, pad_s, stride_t, pad_t,
-                                   groups)
+                                   groups, observe)
     return out
 
 
 def _store_chain_fwd(x, ws, wt, gamma, beta, s_in, s_mid, s_act,
-                     stride_s, pad_s, stride_t, pad_t, groups):
+                     stride_s, pad_s, stride_t, pad_t, groups, observe):
     return _store_chain_fwd_impl(x, ws, wt, gamma, beta, s_in, s_mid, s_act,
-                                 stride_s, pad_s, stride_t, pad_t, groups)
+                                 stride_s, pad_s, stride_t, pad_t, groups,
+                                 observe)
 
 
-def _store_chain_bwd(stride_s, pad_s, stride_t, pad_t, groups, res, cts):
+def _store_chain_bwd(stride_s, pad_s, stride_t, pad_t, groups, observe,
+                     res, cts):
     g_out = cts[0]  # aux outputs (stats/absmax observations) carry no grad
     (xq, hq, yq, ws, wt, gamma, gmean, gvar,
      s_in, s_mid, s_act, x_proto) = res

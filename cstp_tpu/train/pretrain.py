@@ -170,7 +170,7 @@ def make_pretrain_step(model: CSTPPretrain, tx, config: Config):
     augment, train = _build_pretrain_programs(model, tx, config)
 
     bootstrap = None
-    if config.quant == "int8_store":
+    if config.quant in ("int8_store", "int8_store_fz"):
         # --quant int8_store uses DELAYED activation scales (previous-step
         # running absmax in batch_stats). Seed them with one FLOAT
         # observation pass on the first batch ('int8_store_calib' — same

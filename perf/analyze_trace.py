@@ -30,6 +30,8 @@ def main():
     ap.add_argument("trace_dir")
     ap.add_argument("--tool", default="hlo_stats")
     ap.add_argument("--top", type=int, default=30)
+    ap.add_argument("--by-category", action="store_true",
+                    help="aggregate self time by op category (diffable)")
     args = ap.parse_args()
 
     paths = find_xspaces(args.trace_dir)
@@ -47,6 +49,25 @@ def main():
         rows = list(_rows(json.loads(data)))
         rows.sort(key=lambda r: -(r.get("total_self_time") or 0))
         total = sum(r.get("total_self_time") or 0 for r in rows)
+        if args.by_category:
+            # coarse diffable summary: category x (fwd-ish dtype signature)
+            from collections import defaultdict
+
+            cats = defaultdict(float)
+            for r in rows:
+                t = r.get("total_self_time") or 0
+                expr = str(r.get("hlo_op_expression")
+                           or r.get("hlo_op_name"))
+                sig = str(r.get("category"))
+                for marker, tag in (("s8[", "+s8"),
+                                    ("= (f32[], bf16[", "+obs"),):
+                    if marker in expr:
+                        sig += tag
+                cats[sig] += t
+            for sig, t in sorted(cats.items(), key=lambda kv: -kv[1]):
+                print(f"{t:12.1f} {100*t/total:6.2f}  {sig}")
+            print(f"-- {total/1e3:.2f} ms total device self time")
+            return 0
         print(f"{'self us':>12} {'%':>6} {'n':>5}  {'category':22} op")
         shown = 0.0
         for r in rows[: args.top]:
