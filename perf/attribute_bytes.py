@@ -23,9 +23,12 @@ Usage (real chip):
 
 import argparse
 import json
+import os
 import re
 import sys
 from collections import defaultdict
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def log(*a):
@@ -61,33 +64,65 @@ def shape_bytes(type_str):
 _INSTR_RE = re.compile(
     r"^\s*(?:ROOT\s+)?%?([\w.\-]+)\s*=\s*(\([^)]*\)|\S+)\s+([\w\-]+)\(")
 _OPERAND_RE = re.compile(r"%([\w.\-]+)")
+_COMP_RE = re.compile(r"^(?:ENTRY\s+)?%?([\w.\-]+)\s*\([^)]*\)\s*->")
+_FUSION_CALLS_RE = re.compile(r"\bfusion\(.*?\bcalls=%([\w.\-]+)")
+_OPNAME_RE = re.compile(r'op_name="([^"]+)"')
 
 
-def parse_entry_instructions(hlo_text):
-    """Yield (name, type_str, opcode, operand_names) for each top-level
-    instruction of the ENTRY computation."""
-    lines = hlo_text.splitlines()
-    in_entry = False
-    depth = 0
-    for ln in lines:
-        if ln.startswith("ENTRY "):
-            in_entry = True
-            depth = ln.count("{") - ln.count("}")
+def parse_module_instructions(hlo_text):
+    """Yield (name, type_str, opcode, operand_names, op_name) for every
+    instruction in every REAL computation of the module — i.e. excluding
+    fusion bodies, whose internals are register/VMEM values that never
+    materialize as HBM buffers. While/conditional region bodies DO run
+    their instructions and are kept. (Round-4 fix: the original entry-only
+    walk missed everything XLA outlined out of ENTRY — on the b=64 train
+    step that was 94% of the traffic.)"""
+    # pass 1: names of fusion-body computations (referenced by `calls=` on
+    # fusion instructions only — while/cond use body=/condition=/branches=)
+    fused = set()
+    for ln in hlo_text.splitlines():
+        m = _FUSION_CALLS_RE.search(ln)
+        if m:
+            fused.add(m.group(1))
+    # pass 2: walk instructions of every non-fusion-body computation
+    comp = None
+    for ln in hlo_text.splitlines():
+        if not ln.strip() or ln.startswith(("HloModule", "//", "#")):
             continue
-        if not in_entry:
+        if ln.rstrip().endswith("{") and "=" not in ln.split("{")[0]:
+            m = _COMP_RE.match(ln.strip())
+            if m:
+                comp = m.group(1)
+                continue
+        if ln.strip() == "}":
+            comp = None
             continue
-        depth += ln.count("{") - ln.count("}")
-        if depth <= 0 and "}" in ln:
-            break
+        if comp is None or comp in fused:
+            continue
         m = _INSTR_RE.match(ln)
         if not m:
             continue
         name, type_str, opcode = m.group(1), m.group(2), m.group(3)
-        # operands live between the opcode's '(' and the first '),'
         rest = ln[m.end():]
         cut = rest.find(")")
         ops = _OPERAND_RE.findall(rest[:cut if cut >= 0 else None])
-        yield name, type_str, opcode, ops
+        om = _OPNAME_RE.search(ln)
+        yield name, type_str, opcode, ops, (om.group(1) if om else "")
+
+
+def parse_entry_instructions(hlo_text):
+    """Back-compat shim: module walk minus the op_name column."""
+    for tup in parse_module_instructions(hlo_text):
+        yield tup[:4]
+
+
+# Opcodes whose "output" is an alias/view of existing buffers (or pure
+# bookkeeping) — counting them as writes would double-count real traffic.
+_NO_MATERIALIZE = {
+    "parameter", "constant", "tuple", "get-tuple-element", "bitcast",
+    "while", "conditional", "call", "copy-start", "custom-call-start",
+    "after-all", "add-dependency", "domain",
+}
 
 
 def label_for(dt, dims_str, b2, t):
@@ -120,12 +155,25 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--per-chip-bs", type=int, default=64)
     ap.add_argument("--quant", default="",
-                    choices=["", "int8", "int8_fixed", "int8_store"])
+                    choices=["", "int8", "int8_fixed", "int8_store",
+                             "int8_store_fz"])
     ap.add_argument("--top", type=int, default=40)
     ap.add_argument("--json", default=None)
     ap.add_argument("--dump-hlo", default=None,
                     help="also write the optimized HLO text here")
+    ap.add_argument("--from-hlo", default=None,
+                    help="re-analyze a previously dumped HLO text without "
+                         "recompiling (compiles take ~15 min through the "
+                         "tunnel); --cost-gb supplies the cost-analysis "
+                         "total for the footer")
+    ap.add_argument("--cost-gb", type=float, default=0.0)
     args = ap.parse_args()
+
+    if args.from_hlo:
+        with open(args.from_hlo) as f:
+            hlo = f.read()
+        analyze(hlo, args.cost_gb * 1e9, args)
+        return
 
     import jax
     import jax.numpy as jnp
@@ -182,18 +230,35 @@ def main():
             f.write(hlo)
         log(f"wrote HLO -> {args.dump_hlo} ({len(hlo)/1e6:.1f} MB)")
 
-    # --- walk ENTRY: writes (output buffers) + reads (operand buffers) ---
+    analyze(hlo, cost_bytes, args)
+
+
+def analyze(hlo, cost_bytes, args):
+    b = args.per_chip_bs
+    t = 16
+    # --- module walk: writes (output buffers) + reads (operand buffers) ---
     out_bytes = {}
+    vmem_bytes = 0
     groups = defaultdict(lambda: {"writes": 0, "reads": 0, "n": 0,
-                                  "ops": defaultdict(int)})
+                                  "ops": defaultdict(int),
+                                  "names": defaultdict(int)})
     b2 = 2 * b
-    for name, type_str, opcode, ops in parse_entry_instructions(hlo):
+    for name, type_str, opcode, ops, op_name in \
+            parse_module_instructions(hlo):
         wbytes, shapes = shape_bytes(type_str)
         out_bytes[name] = wbytes
-        if opcode in ("parameter", "constant", "tuple", "get-tuple-element",
-                      "bitcast"):
+        if opcode in _NO_MATERIALIZE:
+            continue
+        # buffers layout-assigned to alternate memory (S(1) = VMEM/SRAM,
+        # S(2) = SMEM) never touch HBM — track them separately. Only look
+        # inside the TYPE token, not backend_config JSON.
+        if (not type_str.startswith("(")
+                and ("S(1)" in type_str or "S(2)" in type_str)):
+            vmem_bytes += wbytes
             continue
         rbytes = sum(out_bytes.get(o, 0) for o in ops)
+        # short layer path from metadata, e.g. ".../layer1/spatial_conv"
+        short = "/".join(op_name.split("/")[-3:]) if op_name else ""
         for dt, dims in shapes or [("?", "")]:
             key = (dt, dims)
             g = groups[key]
@@ -205,9 +270,12 @@ def main():
             g["reads"] += int(rbytes * frac)
             g["n"] += 1
             g["ops"][opcode] += 1
+            if short:
+                g["names"][short] += 1
 
     rows = []
     for (dt, dims), g in groups.items():
+        top_names = sorted(g["names"].items(), key=lambda kv: -kv[1])[:3]
         rows.append({
             "dtype": dt, "shape": dims,
             "label": label_for(dt, dims, b2, t),
@@ -215,6 +283,7 @@ def main():
             "reads_gb": g["reads"] / 1e9,
             "total_gb": (g["writes"] + g["reads"]) / 1e9,
             "n": g["n"], "ops": dict(g["ops"]),
+            "top_op_names": [n for n, _ in top_names],
         })
     rows.sort(key=lambda r: -r["total_gb"])
     tot_w = sum(r["writes_gb"] for r in rows)
@@ -222,19 +291,25 @@ def main():
     print(f"{'total GB':>9} {'write':>8} {'read':>8} {'n':>5}  "
           f"{'dtype':6} label / shape")
     for r in rows[:args.top]:
+        nm = (" <- " + ", ".join(r["top_op_names"])
+              if r["top_op_names"] else "")
         print(f"{r['total_gb']:9.2f} {r['writes_gb']:8.2f} "
               f"{r['reads_gb']:8.2f} {r['n']:5}  {r['dtype']:6} "
-              f"{r['label']}  [{r['shape']}]")
+              f"{r['label']}  [{r['shape']}]{nm}")
     shown = sum(r["total_gb"] for r in rows[:args.top])
     alltot = tot_w + tot_r
     print(f"-- top {args.top}: {shown:.1f} GB of {alltot:.1f} GB walked "
           f"({100*shown/max(alltot,1e-9):.1f}%)")
     print(f"-- HLO-walk total: writes {tot_w:.1f} + reads {tot_r:.1f} "
-          f"= {alltot:.1f} GB; XLA cost analysis: {cost_bytes/1e9:.1f} GB")
+          f"= {alltot:.1f} GB (+ {vmem_bytes/1e9:.2f} GB in VMEM/SMEM-"
+          f"assigned buffers, excluded); XLA cost analysis: "
+          f"{cost_bytes/1e9:.1f} GB")
     if args.json:
         with open(args.json, "w") as f:
             json.dump({"rows": rows, "cost_bytes_gb": cost_bytes / 1e9,
-                       "walk_total_gb": alltot, "batch": b}, f, indent=1)
+                       "walk_total_gb": alltot,
+                       "vmem_gb": vmem_bytes / 1e9, "batch": b}, f,
+                      indent=1)
         log(f"wrote {args.json}")
 
 
