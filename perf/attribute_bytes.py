@@ -89,6 +89,13 @@ def parse_module_instructions(hlo_text):
     for ln in hlo_text.splitlines():
         if not ln.strip() or ln.startswith(("HloModule", "//", "#")):
             continue
+        # Computation headers: "ENTRY %main.718 (...) -> ... {" or
+        # "%region_2.3 (...) -> f32[] {". The ENTRY header's parameter list
+        # embeds layouts (braces) and entry_computation_layout text that can
+        # contain '=', so detect it by prefix, not by brace heuristics.
+        if ln.startswith("ENTRY ") and ln.rstrip().endswith("{"):
+            comp = "ENTRY"
+            continue
         if ln.rstrip().endswith("{") and "=" not in ln.split("{")[0]:
             m = _COMP_RE.match(ln.strip())
             if m:
