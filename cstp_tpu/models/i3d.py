@@ -19,7 +19,7 @@ from typing import Any, Sequence, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
-from cstp_tpu.models.layers import BatchNorm, glorot_conv_init, max_pool_3d_same
+from cstp_tpu.models.layers import BatchNorm, Conv3d, max_pool_3d_same
 
 
 def _same_pads(kernel, stride):
@@ -43,14 +43,18 @@ class Unit3D(nn.Module):
     activation: bool = True
     dtype: Any = jnp.bfloat16
     bn_groups: int = 1
+    quant: str = ""
 
     @nn.compact
     def __call__(self, x, train: bool = True):
-        x = nn.Conv(
+        # Conv3d is param-compatible with the previous nn.Conv (same
+        # "conv/kernel" path, DHWIO shape, glorot init), accepts the
+        # asymmetric TF-SAME (lo, hi) pads, and carries the int8
+        # quantization modes (--quant; ops/quant.py).
+        x = Conv3d(
             self.features, self.kernel, self.stride,
-            _same_pads(self.kernel, self.stride), use_bias=False,
-            dtype=self.dtype, param_dtype=jnp.float32,
-            kernel_init=glorot_conv_init(), name="conv",
+            tuple(_same_pads(self.kernel, self.stride)), use_bias=False,
+            dtype=self.dtype, quant=self.quant, name="conv",
         )(x)
         if self.use_bn:
             x = BatchNorm(dtype=self.dtype, groups=self.bn_groups, name="bn")(x, not train)
@@ -65,21 +69,22 @@ class Mixed(nn.Module):
     out_channels: Sequence[int]  # [b0, b1a, b1b, b2a, b2b, b3]
     dtype: Any = jnp.bfloat16
     bn_groups: int = 1
+    quant: str = ""
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         c = self.out_channels
-        x0 = Unit3D(c[0], dtype=self.dtype, bn_groups=self.bn_groups, name="branch_0")(x, train)
-        x1 = Unit3D(c[1], dtype=self.dtype, bn_groups=self.bn_groups, name="branch_1_0")(x, train)
+        x0 = Unit3D(c[0], dtype=self.dtype, bn_groups=self.bn_groups, quant=self.quant, name="branch_0")(x, train)
+        x1 = Unit3D(c[1], dtype=self.dtype, bn_groups=self.bn_groups, quant=self.quant, name="branch_1_0")(x, train)
         x1 = Unit3D(c[2], (3, 3, 3), dtype=self.dtype, bn_groups=self.bn_groups, name="branch_1_1")(
             x1, train
         )
-        x2 = Unit3D(c[3], dtype=self.dtype, bn_groups=self.bn_groups, name="branch_2_0")(x, train)
+        x2 = Unit3D(c[3], dtype=self.dtype, bn_groups=self.bn_groups, quant=self.quant, name="branch_2_0")(x, train)
         x2 = Unit3D(c[4], (3, 3, 3), dtype=self.dtype, bn_groups=self.bn_groups, name="branch_2_1")(
             x2, train
         )
         x3 = max_pool_3d_same(x, (3, 3, 3), (1, 1, 1))
-        x3 = Unit3D(c[5], dtype=self.dtype, bn_groups=self.bn_groups, name="branch_3_1")(x3, train)
+        x3 = Unit3D(c[5], dtype=self.dtype, bn_groups=self.bn_groups, quant=self.quant, name="branch_3_1")(x3, train)
         return jnp.concatenate([x0, x1, x2, x3], axis=-1)
 
 
@@ -102,6 +107,7 @@ class I3D(nn.Module):
     proj_flag: bool = False  # parity; BYOL uses the raw normalized feature
     conv_head: bool = False  # faithful reference classifier (224^2 only)
     num_classes: int = 0     # used only with conv_head
+    quant: str = ""         # '' | int8 modes threaded to every conv site
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -109,30 +115,30 @@ class I3D(nn.Module):
         x = Unit3D(64, (7, 7, 7), (2, 2, 2), dtype=self.dtype, bn_groups=self.bn_groups,
                    name="conv3d_1a_7x7")(x, train)
         x = max_pool_3d_same(x, (1, 3, 3), (1, 2, 2))
-        x = Unit3D(64, dtype=self.dtype, bn_groups=self.bn_groups, name="conv3d_2b_1x1")(x, train)
+        x = Unit3D(64, dtype=self.dtype, bn_groups=self.bn_groups, quant=self.quant, name="conv3d_2b_1x1")(x, train)
         x = Unit3D(192, (3, 3, 3), dtype=self.dtype, bn_groups=self.bn_groups, name="conv3d_2c_3x3")(
             x, train
         )
         x = max_pool_3d_same(x, (1, 3, 3), (1, 2, 2))
-        x = Mixed([64, 96, 128, 16, 32, 32], dtype=self.dtype, bn_groups=self.bn_groups,
+        x = Mixed([64, 96, 128, 16, 32, 32], dtype=self.dtype, bn_groups=self.bn_groups, quant=self.quant,
                   name="mixed_3b")(x, train)
-        x = Mixed([128, 128, 192, 32, 96, 64], dtype=self.dtype, bn_groups=self.bn_groups,
+        x = Mixed([128, 128, 192, 32, 96, 64], dtype=self.dtype, bn_groups=self.bn_groups, quant=self.quant,
                   name="mixed_3c")(x, train)
         x = max_pool_3d_same(x, (3, 3, 3), (2, 2, 2))
-        x = Mixed([192, 96, 208, 16, 48, 64], dtype=self.dtype, bn_groups=self.bn_groups,
+        x = Mixed([192, 96, 208, 16, 48, 64], dtype=self.dtype, bn_groups=self.bn_groups, quant=self.quant,
                   name="mixed_4b")(x, train)
-        x = Mixed([160, 112, 224, 24, 64, 64], dtype=self.dtype, bn_groups=self.bn_groups,
+        x = Mixed([160, 112, 224, 24, 64, 64], dtype=self.dtype, bn_groups=self.bn_groups, quant=self.quant,
                   name="mixed_4c")(x, train)
-        x = Mixed([128, 128, 256, 24, 64, 64], dtype=self.dtype, bn_groups=self.bn_groups,
+        x = Mixed([128, 128, 256, 24, 64, 64], dtype=self.dtype, bn_groups=self.bn_groups, quant=self.quant,
                   name="mixed_4d")(x, train)
-        x = Mixed([112, 144, 288, 32, 64, 64], dtype=self.dtype, bn_groups=self.bn_groups,
+        x = Mixed([112, 144, 288, 32, 64, 64], dtype=self.dtype, bn_groups=self.bn_groups, quant=self.quant,
                   name="mixed_4e")(x, train)
-        x = Mixed([256, 160, 320, 32, 128, 128], dtype=self.dtype, bn_groups=self.bn_groups,
+        x = Mixed([256, 160, 320, 32, 128, 128], dtype=self.dtype, bn_groups=self.bn_groups, quant=self.quant,
                   name="mixed_4f")(x, train)
         x = max_pool_3d_same(x, (2, 2, 2), (2, 2, 2))
-        x = Mixed([256, 160, 320, 32, 128, 128], dtype=self.dtype, bn_groups=self.bn_groups,
+        x = Mixed([256, 160, 320, 32, 128, 128], dtype=self.dtype, bn_groups=self.bn_groups, quant=self.quant,
                   name="mixed_5b")(x, train)
-        x = Mixed([384, 192, 384, 48, 128, 128], dtype=self.dtype, bn_groups=self.bn_groups,
+        x = Mixed([384, 192, 384, 48, 128, 128], dtype=self.dtype, bn_groups=self.bn_groups, quant=self.quant,
                   name="mixed_5c")(x, train)
         if self.conv_head:
             if x.shape[1] < 2 or x.shape[2] != 7 or x.shape[3] != 7:

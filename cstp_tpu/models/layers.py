@@ -171,7 +171,9 @@ class Conv3d(nn.Module):
     features: int
     kernel: Tuple[int, int, int]
     stride: Tuple[int, int, int] = (1, 1, 1)
-    padding: Tuple[int, int, int] = (0, 0, 0)
+    # per-dim padding: int = symmetric, (lo, hi) pair = explicit asymmetric
+    # (the TF-SAME backbones — i3d — pad bottom-heavy)
+    padding: Tuple = (0, 0, 0)
     use_bias: bool = False
     dtype: Dtype = jnp.bfloat16
     # declare-and-return the kernel param WITHOUT building the convolution —
@@ -243,6 +245,8 @@ class Conv3d(nn.Module):
                 out = out + bias.astype(self.dtype)
             return out
 
+        pairs = [(p, p) if isinstance(p, int) else tuple(p)
+                 for p in self.padding]
         if x.ndim == 4:
             # T-folded input (B*T, H, W, C) — the --t_fold path: a purely
             # spatial (1,kh,kw) tap applied frame-wise is exactly a 2D conv
@@ -251,7 +255,7 @@ class Conv3d(nn.Module):
             assert (kt, st, pt) == (1, 1, 0), (self.kernel, self.stride,
                                                self.padding)
             out = jax.lax.conv_general_dilated(
-                xd, kd[0], (sh, sw), [(ph, ph), (pw, pw)],
+                xd, kd[0], (sh, sw), pairs[1:],
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
                 preferred_element_type=self.dtype,
             )
@@ -261,7 +265,7 @@ class Conv3d(nn.Module):
 
         del kt, kh, kw, st, sh, sw, pt, ph, pw
         out = jax.lax.conv_general_dilated(
-            xd, kd, self.stride, [(p, p) for p in self.padding],
+            xd, kd, self.stride, pairs,
             dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
             preferred_element_type=self.dtype,
         )

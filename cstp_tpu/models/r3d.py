@@ -16,7 +16,7 @@ from flax import linen as nn
 
 from cstp_tpu.models.layers import (
     BatchNorm,
-    glorot_conv_init,
+    Conv3d,
     max_pool_3d,
 )
 
@@ -31,11 +31,13 @@ R3D_LAYERS = {
 }
 
 
-def _conv(features, kernel, stride, padding, dtype, name):
-    return nn.Conv(
-        features, kernel, stride, [(p, p) for p in padding], use_bias=False,
-        dtype=dtype, param_dtype=jnp.float32, kernel_init=glorot_conv_init(),
-        name=name,
+def _conv(features, kernel, stride, padding, dtype, name, quant=""):
+    # Conv3d is param-compatible with the previous nn.Conv (same
+    # "{kernel}" path, DHWIO shape, glorot init) and carries the int8
+    # quantization modes (--quant; ops/quant.py).
+    return Conv3d(
+        features, kernel, stride, padding, use_bias=False,
+        dtype=dtype, quant=quant, name=name,
     )
 
 
@@ -45,15 +47,16 @@ class _BasicBlock(nn.Module):
     shortcut: str = "B"
     dtype: Any = jnp.bfloat16
     bn_groups: int = 1
+    quant: str = ""
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         s = (self.stride,) * 3
-        out = _conv(self.planes, (3, 3, 3), s, (1, 1, 1), self.dtype, "conv1")(x)
+        out = _conv(self.planes, (3, 3, 3), s, (1, 1, 1), self.dtype, "conv1", self.quant)(x)
         out = BatchNorm(dtype=self.dtype, groups=self.bn_groups, name="bn1")(out, not train)
         out = nn.relu(out).astype(self.dtype)
         out = _conv(self.planes, (3, 3, 3), (1, 1, 1), (1, 1, 1), self.dtype,
-                    "conv2")(out)
+                    "conv2", self.quant)(out)
         out = BatchNorm(dtype=self.dtype, groups=self.bn_groups, name="bn2")(out, not train)
         res = _shortcut(self, x, self.planes, self.stride, train)
         return nn.relu(out.astype(jnp.float32) + res.astype(jnp.float32)).astype(
@@ -67,19 +70,20 @@ class _Bottleneck(nn.Module):
     shortcut: str = "B"
     dtype: Any = jnp.bfloat16
     bn_groups: int = 1
+    quant: str = ""
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         s = (self.stride,) * 3
         out = _conv(self.planes, (1, 1, 1), (1, 1, 1), (0, 0, 0), self.dtype,
-                    "conv1")(x)
+                    "conv1", self.quant)(x)
         out = BatchNorm(dtype=self.dtype, groups=self.bn_groups, name="bn1")(out, not train)
         out = nn.relu(out).astype(self.dtype)
-        out = _conv(self.planes, (3, 3, 3), s, (1, 1, 1), self.dtype, "conv2")(out)
+        out = _conv(self.planes, (3, 3, 3), s, (1, 1, 1), self.dtype, "conv2", self.quant)(out)
         out = BatchNorm(dtype=self.dtype, groups=self.bn_groups, name="bn2")(out, not train)
         out = nn.relu(out).astype(self.dtype)
         out = _conv(self.planes * 4, (1, 1, 1), (1, 1, 1), (0, 0, 0), self.dtype,
-                    "conv3")(out)
+                    "conv3", self.quant)(out)
         out = BatchNorm(dtype=self.dtype, groups=self.bn_groups, name="bn3")(out, not train)
         res = _shortcut(self, x, self.planes * 4, self.stride, train)
         return nn.relu(out.astype(jnp.float32) + res.astype(jnp.float32)).astype(
@@ -102,7 +106,7 @@ def _shortcut(mod: nn.Module, x, out_planes: int, stride: int, train: bool):
             pooled = jnp.pad(pooled, ((0, 0),) * 4 + ((0, pad),))
         return pooled
     out = _conv(out_planes, (1, 1, 1), (stride,) * 3, (0, 0, 0), mod.dtype,
-                "downsample_conv")(x)
+                "downsample_conv", mod.quant)(x)
     return BatchNorm(dtype=mod.dtype, groups=mod.bn_groups, name="downsample_bn")(out, not train)
 
 
@@ -115,12 +119,14 @@ class ResNet3D(nn.Module):
     dtype: Any = jnp.bfloat16
     bn_groups: int = 1
     proj_flag: bool = False  # parity; reference R3D has no projector
+    quant: str = ""         # '' | int8 modes threaded to every conv site
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         block_cls = _BasicBlock if self.block == "basic" else _Bottleneck
         x = x.astype(self.dtype)
-        x = _conv(64, (7, 7, 7), (1, 2, 2), (3, 3, 3), self.dtype, "conv1")(x)
+        x = _conv(64, (7, 7, 7), (1, 2, 2), (3, 3, 3), self.dtype, "conv1",
+                  self.quant)(x)
         x = BatchNorm(dtype=self.dtype, groups=self.bn_groups, name="bn1")(x, not train)
         x = nn.relu(x).astype(self.dtype)
         x = max_pool_3d(x, (3, 3, 3), (2, 2, 2), (1, 1, 1))
@@ -131,6 +137,11 @@ class ResNet3D(nn.Module):
                 stride = 2 if (li > 0 and bi == 0) else 1
                 x = block_cls(
                     planes, stride, self.shortcut, dtype=self.dtype,
+                    # bn_groups threaded (round-4 fix: the blocks previously
+                    # fell back to groups=1, computing cross-view statistics
+                    # in two-view-concat pretraining — the same bug fixed
+                    # for R2Plus1DNet in PERF.md's per-view BN section)
+                    bn_groups=self.bn_groups, quant=self.quant,
                     name=f"layer{li + 1}_block{bi + 1}",
                 )(x, train)
         return jnp.mean(x.astype(jnp.float32), axis=(1, 2, 3))

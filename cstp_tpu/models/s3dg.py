@@ -46,11 +46,12 @@ class BasicConv3d(nn.Module):
     padding: Tuple[int, int, int] = (0, 0, 0)
     dtype: Any = jnp.bfloat16
     bn_groups: int = 1
+    quant: str = ""
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         x = Conv3d(self.features, self.kernel, self.stride, self.padding,
-                   dtype=self.dtype, name="conv")(x)
+                   dtype=self.dtype, quant=self.quant, name="conv")(x)
         x = BatchNorm(dtype=self.dtype, groups=self.bn_groups, name="bn")(x, not train)
         return nn.relu(x).astype(self.dtype)
 
@@ -65,17 +66,18 @@ class STConv3d(nn.Module):
     padding: int = 0
     dtype: Any = jnp.bfloat16
     bn_groups: int = 1
+    quant: str = ""
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         k, p = self.kernel, self.padding
         ts, ss = self.stride[0], self.stride[-1]
         x = Conv3d(self.features, (1, k, k), (1, ss, ss), (0, p, p),
-                   dtype=self.dtype, name="conv1")(x)
+                   dtype=self.dtype, quant=self.quant, name="conv1")(x)
         x = BatchNorm(dtype=self.dtype, groups=self.bn_groups, name="bn1")(x, not train)
         x = nn.relu(x).astype(self.dtype)
         x = Conv3d(self.features, (k, 1, 1), (ts, 1, 1), (p, 0, 0),
-                   dtype=self.dtype, name="conv2")(x)
+                   dtype=self.dtype, quant=self.quant, name="conv2")(x)
         x = BatchNorm(dtype=self.dtype, groups=self.bn_groups, name="bn2")(x, not train)
         return nn.relu(x).astype(self.dtype)
 
@@ -87,19 +89,20 @@ class SepInception(nn.Module):
     gating: bool = False
     dtype: Any = jnp.bfloat16
     bn_groups: int = 1
+    quant: str = ""
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         p0, p1a, p1b, p2a, p2b, p3b = self.out_planes
-        x0 = BasicConv3d(p0, dtype=self.dtype, bn_groups=self.bn_groups, name="branch0")(x, train)
-        x1 = BasicConv3d(p1a, dtype=self.dtype, bn_groups=self.bn_groups, name="branch1_0")(x, train)
-        x1 = STConv3d(p1b, 3, (1, 1, 1), 1, dtype=self.dtype, bn_groups=self.bn_groups,
+        x0 = BasicConv3d(p0, dtype=self.dtype, bn_groups=self.bn_groups, quant=self.quant, name="branch0")(x, train)
+        x1 = BasicConv3d(p1a, dtype=self.dtype, bn_groups=self.bn_groups, quant=self.quant, name="branch1_0")(x, train)
+        x1 = STConv3d(p1b, 3, (1, 1, 1), 1, dtype=self.dtype, bn_groups=self.bn_groups, quant=self.quant,
                       name="branch1_1")(x1, train)
-        x2 = BasicConv3d(p2a, dtype=self.dtype, bn_groups=self.bn_groups, name="branch2_0")(x, train)
-        x2 = STConv3d(p2b, 3, (1, 1, 1), 1, dtype=self.dtype, bn_groups=self.bn_groups,
+        x2 = BasicConv3d(p2a, dtype=self.dtype, bn_groups=self.bn_groups, quant=self.quant, name="branch2_0")(x, train)
+        x2 = STConv3d(p2b, 3, (1, 1, 1), 1, dtype=self.dtype, bn_groups=self.bn_groups, quant=self.quant,
                       name="branch2_1")(x2, train)
         x3 = max_pool_3d(x, (3, 3, 3), (1, 1, 1), (1, 1, 1))
-        x3 = BasicConv3d(p3b, dtype=self.dtype, bn_groups=self.bn_groups, name="branch3_1")(x3, train)
+        x3 = BasicConv3d(p3b, dtype=self.dtype, bn_groups=self.bn_groups, quant=self.quant, name="branch3_1")(x3, train)
         if self.gating:
             x0 = SelfGating(dtype=self.dtype, name="gating_b0")(x0)
             x1 = SelfGating(dtype=self.dtype, name="gating_b1")(x1)
@@ -130,6 +133,7 @@ class S3D(nn.Module):
     proj_flag: bool = False
     dtype: Any = jnp.bfloat16
     bn_groups: int = 1
+    quant: str = ""          # '' | int8 modes threaded to every conv site
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -143,28 +147,29 @@ class S3D(nn.Module):
             x = space_to_depth_stem(x)
             x = BasicConv3d(64, (2, 4, 4), (1, 1, 1), (1, 2, 2),
                             dtype=self.dtype, bn_groups=self.bn_groups,
-                            name="Conv_1a")(x, train)
+                            quant=self.quant, name="Conv_1a")(x, train)
             x = x[:, 1:, 1:, 1:, :]
         else:
             stem_stride = (1, 2, 2) if self.slow else (2, 2, 2)
             x = STConv3d(64, 7, stem_stride, 3, dtype=self.dtype,
-                         bn_groups=self.bn_groups,
+                         bn_groups=self.bn_groups, quant=self.quant,
                          name="Conv_1a")(x, train)
         x = max_pool_3d(x, (1, 3, 3), (1, 2, 2), (0, 1, 1))
-        x = BasicConv3d(64, dtype=self.dtype, bn_groups=self.bn_groups, name="Conv_2b")(x, train)
+        x = BasicConv3d(64, dtype=self.dtype, bn_groups=self.bn_groups,
+                        quant=self.quant, name="Conv_2b")(x, train)
         x = STConv3d(192, 3, (1, 1, 1), 1, dtype=self.dtype, bn_groups=self.bn_groups,
-                     name="Conv_2c")(x, train)
+                     quant=self.quant, name="Conv_2c")(x, train)
         x = max_pool_3d(x, (1, 3, 3), (1, 2, 2), (0, 1, 1))
         for i, plan in enumerate(_MIXED_3):
-            x = SepInception(plan, self.gating, dtype=self.dtype, bn_groups=self.bn_groups,
+            x = SepInception(plan, self.gating, dtype=self.dtype, bn_groups=self.bn_groups, quant=self.quant,
                              name=f"Mixed_3{'bc'[i]}")(x, train)
         x = max_pool_3d(x, (3, 3, 3), (2, 2, 2), (1, 1, 1))
         for i, plan in enumerate(_MIXED_4):
-            x = SepInception(plan, self.gating, dtype=self.dtype, bn_groups=self.bn_groups,
+            x = SepInception(plan, self.gating, dtype=self.dtype, bn_groups=self.bn_groups, quant=self.quant,
                              name=f"Mixed_4{'bcdef'[i]}")(x, train)
         x = max_pool_3d(x, (2, 2, 2), (2, 2, 2), (0, 0, 0))
         for i, plan in enumerate(_MIXED_5):
-            x = SepInception(plan, self.gating, dtype=self.dtype, bn_groups=self.bn_groups,
+            x = SepInception(plan, self.gating, dtype=self.dtype, bn_groups=self.bn_groups, quant=self.quant,
                              name=f"Mixed_5{'bc'[i]}")(x, train)
         feat = jnp.mean(x.astype(jnp.float32), axis=(1, 2, 3))  # (B, 1024)
         if self.proj_flag:

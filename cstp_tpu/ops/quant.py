@@ -53,8 +53,11 @@ def _quantize_weight(w: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
 def _conv(x, w, stride, padding, acc_dtype):
     nd = ("NDHWC", "DHWIO", "NDHWC") if x.ndim == 5 else \
          ("NHWC", "HWIO", "NHWC")
+    # padding entries: int (symmetric) or (lo, hi) pair (TF-SAME backbones
+    # like i3d use bottom-heavy asymmetric pads)
+    pads = [(p, p) if isinstance(p, int) else tuple(p) for p in padding]
     return jax.lax.conv_general_dilated(
-        x, w, stride, [(p, p) for p in padding],
+        x, w, stride, pads,
         dimension_numbers=nd, preferred_element_type=acc_dtype,
     )
 
@@ -97,7 +100,8 @@ def int8_conv(x, w, stride: Tuple[int, ...], padding: Tuple[int, ...],
     dynamic = act_scale is None
     sa = (jnp.zeros((), jnp.float32) if dynamic
           else jnp.asarray(act_scale, jnp.float32))
-    return _int8_conv_core(x, w, sa, tuple(stride), tuple(padding),
+    pads = tuple(p if isinstance(p, int) else tuple(p) for p in padding)
+    return _int8_conv_core(x, w, sa, tuple(stride), pads,
                            dynamic).astype(out_dtype)
 
 

@@ -93,11 +93,12 @@ def calibrate_checkpoint(config, md_path: str, out_path: str,
         seen += batch_size
     bstats = jax.device_get(bstats)
     if not any(True for _ in _iter_scales(bstats)):
-        # e.g. an i3d/slowfast checkpoint: CSTPClassify only threads `quant`
-        # into backbones with quantized conv sites, so calibration would
-        # observe nothing and the subsequent --quant int8_static serve would
-        # be a silent float run (ADVICE r3). Fail instead of writing a
-        # checkpoint that LOOKS calibrated.
+        # e.g. a slowfast checkpoint: CSTPClassify only threads `quant`
+        # into backbones with quantized conv sites (r21d/c3d/r3d/s3d/i3d
+        # since round 4), so calibration would observe nothing and the
+        # subsequent --quant int8_static serve would be a silent float run
+        # (ADVICE r3). Fail instead of writing a checkpoint that LOOKS
+        # calibrated.
         raise ValueError(
             f"int8 calibration observed 0 conv sites for model "
             f"'{config.model_name}' — this backbone has no quantized conv "

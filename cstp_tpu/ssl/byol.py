@@ -275,7 +275,10 @@ class CSTPClassify(nn.Module):
             extra["mid_round"] = self.mid_round
         if self.t_fold and self.backbone.startswith("r21d"):
             extra["t_fold"] = True
-        if self.quant and self.backbone.startswith("r21d"):
+        if self.quant and not self.backbone.startswith("slowfast"):
+            # int8 modes are threaded through every registered single-tower
+            # backbone (r21d/c3d/r3d/s3d/i3d) since round 4; slowfast's
+            # dual-pathway blocks are the one family without quant plumbing
             extra["quant"] = self.quant
         if self.head_style == "i3d_conv":
             # the faithful reference i3d classifier lives INSIDE the

@@ -149,6 +149,15 @@ def _check_trainable_quant(config: Config, context: str) -> None:
             f"cannot drive the {context} TRAINING step (see "
             "serve/quantize.py). Use --quant '' (float), int8, or "
             "int8_fixed for training.")
+    if (config.quant in ("int8_store", "int8_store_fz")
+            and not config.model_name.startswith("r21d")):
+        # the s8 STORAGE chain lives in SpatioTemporalConv (the factorized
+        # r21d block); on other families Conv3d's startswith('int8') match
+        # would silently degrade it to dynamic per-tensor int8
+        raise ValueError(
+            f"--quant {config.quant} is implemented for the r21d factorized "
+            f"chain only; got model '{config.model_name}'. Use --quant int8/"
+            "int8_fixed for other families.")
 
 
 def make_pretrain_step(model: CSTPPretrain, tx, config: Config):

@@ -42,6 +42,12 @@ def main(argv=None):
     ap.add_argument("--logit_videos", type=int, default=0,
                     help="videos for the logit-error pass (0 = all)")
     ap.add_argument("--out", default="results/int8_serving_gate.json")
+    ap.add_argument("--skip_retrieval", action="store_true",
+                    help="skip the R@k chains (the retrieval feature "
+                         "extraction dominates wall time through the "
+                         "tunneled dev chip; top-1 + the per-window logit "
+                         "error distribution are the statistically "
+                         "meaningful gates)")
     args = ap.parse_args(argv)
 
     import jax
@@ -106,8 +112,11 @@ def main(argv=None):
         cfg = dataclasses.replace(base, quant=quant,
                                   test_md_path=md_path).finalize()
         test = run_test(cfg)
-        rcfg = dataclasses.replace(cfg, task="retrieval").finalize()
-        retr = run_retrieval(rcfg)
+        if args.skip_retrieval:
+            retr = {}
+        else:
+            rcfg = dataclasses.replace(cfg, task="retrieval").finalize()
+            retr = run_retrieval(rcfg)
         lg, labels = logits_for(cfg, md_path, args.logit_videos)
         row = {"tag": tag, "top1": test["accuracy"],
                "n_videos": test["n_videos"],
@@ -116,9 +125,17 @@ def main(argv=None):
                            if k.startswith("R@")}}
         return row, lg
 
+    def dump_partial():
+        # compiles through the tunnel cost 10+ min per program — write the
+        # report after EVERY chain so a timeout never loses finished rows
+        os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+        with open(args.out, "w") as f:
+            json.dump(report, f, indent=1)
+
     print("== float chain ==", flush=True)
     frow, flg = run_chain("float", "", args.ckpt)
     report["rows"].append(frow)
+    dump_partial()
     fcat = np.concatenate(flg, axis=0)
     fstd = float(fcat.std())
 
@@ -144,10 +161,9 @@ def main(argv=None):
             k: row["recalls"][k] - frow["recalls"][k]
             for k in row["recalls"]}
         report["rows"].append(row)
+        dump_partial()
 
-    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
-    with open(args.out, "w") as f:
-        json.dump(report, f, indent=1)
+    dump_partial()
     print(f"\nwrote {args.out}\n")
 
     # docs/SERVING.md table

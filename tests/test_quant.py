@@ -256,7 +256,9 @@ def test_eval_only_quant_modes_rejected_on_train_steps(key):
 
 def test_calibrate_checkpoint_rejects_siteless_backbone(tmp_path):
     """ADVICE r3: calibrating a backbone with no quantized conv sites must
-    fail loudly instead of writing a checkpoint that looks calibrated."""
+    fail loudly instead of writing a checkpoint that looks calibrated.
+    slowfast is the one remaining family without quant plumbing (round 4
+    threaded it through c3d/r3d/s3d/i3d)."""
     import jax as _jax
 
     from cstp_tpu.ckpt import checkpoint as ckpt_lib
@@ -264,7 +266,7 @@ def test_calibrate_checkpoint_rejects_siteless_backbone(tmp_path):
     from cstp_tpu.serve.quantize import calibrate_checkpoint
     from cstp_tpu.train.finetune import create_finetune_state
 
-    cfg = Config(model_name="i3d", model_depth=1, sample_duration=8,
+    cfg = Config(model_name="slowfast", model_depth=18, sample_duration=8,
                  sample_size=64, batch_size=2, n_finetune_classes=5,
                  data_backend="synthetic", synthetic_len=8,
                  compute_dtype="float32", task="ft_all").finalize()
@@ -407,3 +409,70 @@ def test_int8_store_pretrain_bootstraps_and_trains(key):
     walk(jax.device_get(state.batch_stats))
     assert scales and all(s > 0 for s in scales), \
         (len(scales), min(scales) if scales else None)
+
+
+# ---------------------------------------------------------------------------
+# int8 serving across the backbone zoo (round 4: quant threaded through
+# c3d / r3d / s3d / i3d in addition to r21d)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("arch,depth", [("c3d", 1), ("r3d", 18),
+                                        ("s3d", 1), ("i3d", 1)])
+def test_int8_calibrate_then_static_all_families(arch, depth):
+    """Every single-tower backbone family exposes the calibrate→int8_static
+    serving flow: the calib pass observes >0 conv sites (including i3d's
+    asymmetric TF-SAME convs through Conv3d's (lo, hi) padding) and the
+    static int8 forward tracks the float forward closely."""
+    from cstp_tpu.ssl.byol import CSTPClassify
+
+    def n_scales(tree):
+        n = 0
+        for k, v in tree.items():
+            if k == "act_scale":
+                n += 1
+            elif isinstance(v, dict):
+                n += n_scales(v)
+        return n
+
+    x = jnp.asarray(np.random.default_rng(0).normal(
+        0, 1, (2, 8, 32, 32, 3)).astype(np.float32))
+    kw = dict(backbone=arch, depth=depth, num_classes=5, dtype=jnp.float32)
+    m = CSTPClassify(**kw)
+    vs = m.init(jax.random.PRNGKey(0), x, train=False)
+    out_f = m.apply(vs, x, train=False)
+
+    mc = CSTPClassify(quant="int8_calib", **kw)
+    _, mut = mc.apply({"params": vs["params"],
+                       "batch_stats": vs.get("batch_stats", {})},
+                      x, train=False, mutable=["batch_stats"])
+    assert n_scales(mut["batch_stats"]) > 0, arch
+
+    ms = CSTPClassify(quant="int8_static", **kw)
+    out_q = ms.apply({"params": vs["params"],
+                      "batch_stats": mut["batch_stats"]}, x, train=False)
+    of = np.asarray(out_f, np.float64).ravel()
+    oq = np.asarray(out_q, np.float64).ravel()
+    corr = np.corrcoef(of, oq)[0, 1]
+    assert corr > 0.95, (arch, corr)
+
+
+def test_conv3d_asymmetric_padding_matches_nn_conv():
+    """Conv3d with (lo, hi) pairs == flax nn.Conv with the same explicit
+    pads (the TF-SAME contract i3d relies on), float32 exact."""
+    from flax import linen as nn
+
+    from cstp_tpu.models.layers import Conv3d, glorot_conv_init
+
+    pads = [(0, 1), (1, 2), (1, 2)]
+    x = jnp.asarray(np.random.default_rng(1).normal(
+        0, 1, (2, 5, 9, 9, 4)).astype(np.float32))
+    a = Conv3d(6, (2, 3, 3), (2, 2, 2), tuple(pads), dtype=jnp.float32)
+    b = nn.Conv(6, (2, 3, 3), (2, 2, 2), pads, use_bias=False,
+                dtype=jnp.float32, param_dtype=jnp.float32,
+                kernel_init=glorot_conv_init())
+    va = a.init(jax.random.PRNGKey(2), x)
+    out_a = a.apply(va, x)
+    out_b = b.apply({"params": {"kernel": va["params"]["kernel"]}}, x)
+    np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b),
+                               rtol=1e-6, atol=1e-6)
