@@ -503,7 +503,7 @@ def main():
     print(json.dumps({
         "metric": f"{mode_name}"
                   f"{'_e2e' if args.e2e else ''}"
-                  "_clips_per_sec_per_chip",
+                  "_samples_per_sec_per_chip",
         "value": round(per_chip, 2),
         "unit": "samples/s/chip",
         "vs_baseline": round(per_chip / 2000.0, 4),
