@@ -76,13 +76,11 @@ class Mixed(nn.Module):
         c = self.out_channels
         x0 = Unit3D(c[0], dtype=self.dtype, bn_groups=self.bn_groups, quant=self.quant, name="branch_0")(x, train)
         x1 = Unit3D(c[1], dtype=self.dtype, bn_groups=self.bn_groups, quant=self.quant, name="branch_1_0")(x, train)
-        x1 = Unit3D(c[2], (3, 3, 3), dtype=self.dtype, bn_groups=self.bn_groups, name="branch_1_1")(
-            x1, train
-        )
+        x1 = Unit3D(c[2], (3, 3, 3), dtype=self.dtype, bn_groups=self.bn_groups, quant=self.quant,
+                    name="branch_1_1")(x1, train)
         x2 = Unit3D(c[3], dtype=self.dtype, bn_groups=self.bn_groups, quant=self.quant, name="branch_2_0")(x, train)
-        x2 = Unit3D(c[4], (3, 3, 3), dtype=self.dtype, bn_groups=self.bn_groups, name="branch_2_1")(
-            x2, train
-        )
+        x2 = Unit3D(c[4], (3, 3, 3), dtype=self.dtype, bn_groups=self.bn_groups, quant=self.quant,
+                    name="branch_2_1")(x2, train)
         x3 = max_pool_3d_same(x, (3, 3, 3), (1, 1, 1))
         x3 = Unit3D(c[5], dtype=self.dtype, bn_groups=self.bn_groups, quant=self.quant, name="branch_3_1")(x3, train)
         return jnp.concatenate([x0, x1, x2, x3], axis=-1)
@@ -113,12 +111,11 @@ class I3D(nn.Module):
     def __call__(self, x, train: bool = True):
         x = x.astype(self.dtype)
         x = Unit3D(64, (7, 7, 7), (2, 2, 2), dtype=self.dtype, bn_groups=self.bn_groups,
-                   name="conv3d_1a_7x7")(x, train)
+                   quant=self.quant, name="conv3d_1a_7x7")(x, train)
         x = max_pool_3d_same(x, (1, 3, 3), (1, 2, 2))
         x = Unit3D(64, dtype=self.dtype, bn_groups=self.bn_groups, quant=self.quant, name="conv3d_2b_1x1")(x, train)
-        x = Unit3D(192, (3, 3, 3), dtype=self.dtype, bn_groups=self.bn_groups, name="conv3d_2c_3x3")(
-            x, train
-        )
+        x = Unit3D(192, (3, 3, 3), dtype=self.dtype, bn_groups=self.bn_groups, quant=self.quant,
+                   name="conv3d_2c_3x3")(x, train)
         x = max_pool_3d_same(x, (1, 3, 3), (1, 2, 2))
         x = Mixed([64, 96, 128, 16, 32, 32], dtype=self.dtype, bn_groups=self.bn_groups, quant=self.quant,
                   name="mixed_3b")(x, train)

@@ -40,7 +40,7 @@ from flax import linen as nn
 
 from cstp_tpu.models.layers import (
     BatchNorm,
-    glorot_conv_init,
+    Conv3d,
     max_pool_3d,
 )
 
@@ -54,12 +54,13 @@ SLOWFAST_LAYERS = {
 }
 
 
-def _conv(features, kernel, stride, padding, dtype, name):
-    return nn.Conv(
-        features, kernel, stride, [(p, p) for p in padding], use_bias=False,
-        dtype=dtype, param_dtype=jnp.float32, kernel_init=glorot_conv_init(),
-        name=name,
-    )
+def _conv(features, kernel, stride, padding, dtype, name, quant=""):
+    # Conv3d is param-compatible with the previous nn.Conv (same
+    # "<name>/kernel" path, DHWIO f32 param, glorot init, symmetric pads)
+    # and carries the int8 quantization modes (--quant; ops/quant.py) into
+    # both pathways and the lateral connections.
+    return Conv3d(features, kernel, stride, padding, use_bias=False,
+                  dtype=dtype, quant=quant, name=name)
 
 
 class _SFBasic(nn.Module):
@@ -71,23 +72,24 @@ class _SFBasic(nn.Module):
     stride: int = 1         # spatial
     dtype: Any = jnp.bfloat16
     bn_groups: int = 1
+    quant: str = ""
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         kt, pt = self.t_kernel, self.t_kernel // 2
         s = (1, self.stride, self.stride)
         out = _conv(self.planes, (kt, 3, 3), s, (pt, 1, 1), self.dtype,
-                    "conv1")(x)
+                    "conv1", quant=self.quant)(x)
         out = BatchNorm(dtype=self.dtype, groups=self.bn_groups,
                         name="bn1")(out, not train)
         out = nn.relu(out).astype(self.dtype)
         out = _conv(self.planes, (1, 3, 3), (1, 1, 1), (0, 1, 1), self.dtype,
-                    "conv2")(out)
+                    "conv2", quant=self.quant)(out)
         out = BatchNorm(dtype=self.dtype, groups=self.bn_groups,
                         name="bn2")(out, not train)
         if self.stride != 1 or x.shape[-1] != self.planes:
             res = _conv(self.planes, (1, 1, 1), s, (0, 0, 0), self.dtype,
-                        "downsample_conv")(x)
+                        "downsample_conv", quant=self.quant)(x)
             res = BatchNorm(dtype=self.dtype, groups=self.bn_groups,
                             name="downsample_bn")(res, not train)
         else:
@@ -105,28 +107,29 @@ class _SFBottleneck(nn.Module):
     stride: int = 1
     dtype: Any = jnp.bfloat16
     bn_groups: int = 1
+    quant: str = ""
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         kt, pt = self.t_kernel, self.t_kernel // 2
         s = (1, self.stride, self.stride)
         out = _conv(self.planes, (kt, 1, 1), (1, 1, 1), (pt, 0, 0),
-                    self.dtype, "conv1")(x)
+                    self.dtype, "conv1", quant=self.quant)(x)
         out = BatchNorm(dtype=self.dtype, groups=self.bn_groups,
                         name="bn1")(out, not train)
         out = nn.relu(out).astype(self.dtype)
         out = _conv(self.planes, (1, 3, 3), s, (0, 1, 1), self.dtype,
-                    "conv2")(out)
+                    "conv2", quant=self.quant)(out)
         out = BatchNorm(dtype=self.dtype, groups=self.bn_groups,
                         name="bn2")(out, not train)
         out = nn.relu(out).astype(self.dtype)
         out = _conv(self.planes * 4, (1, 1, 1), (1, 1, 1), (0, 0, 0),
-                    self.dtype, "conv3")(out)
+                    self.dtype, "conv3", quant=self.quant)(out)
         out = BatchNorm(dtype=self.dtype, groups=self.bn_groups,
                         name="bn3")(out, not train)
         if self.stride != 1 or x.shape[-1] != self.planes * 4:
             res = _conv(self.planes * 4, (1, 1, 1), s, (0, 0, 0), self.dtype,
-                        "downsample_conv")(x)
+                        "downsample_conv", quant=self.quant)(x)
             res = BatchNorm(dtype=self.dtype, groups=self.bn_groups,
                             name="downsample_bn")(res, not train)
         else:
@@ -143,12 +146,13 @@ class _Lateral(nn.Module):
     alpha: int
     dtype: Any = jnp.bfloat16
     bn_groups: int = 1
+    quant: str = ""
 
     @nn.compact
     def __call__(self, fast, train: bool = True):
         c = fast.shape[-1]
         out = _conv(2 * c, (5, 1, 1), (self.alpha, 1, 1), (2, 0, 0),
-                    self.dtype, "conv")(fast)
+                    self.dtype, "conv", quant=self.quant)(fast)
         out = BatchNorm(dtype=self.dtype, groups=self.bn_groups,
                         name="bn")(out, not train)
         return nn.relu(out).astype(self.dtype)
@@ -171,6 +175,7 @@ class SlowFastNet(nn.Module):
     dtype: Any = jnp.bfloat16
     bn_groups: int = 1
     proj_flag: bool = False   # no BYOL projector (supervised-era model)
+    quant: str = ""           # '' | int8 modes threaded to every conv site
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -184,19 +189,20 @@ class SlowFastNet(nn.Module):
         # stems: slow 1x7x7 C=64; fast 5x7x7 C=64/beta_inv (paper table 1)
         cf = max(64 // self.beta_inv, 8)
         slow = _conv(64, (1, 7, 7), (1, 2, 2), (0, 3, 3), self.dtype,
-                     "slow_conv1")(slow)
+                     "slow_conv1", quant=self.quant)(slow)
         slow = BatchNorm(dtype=self.dtype, groups=self.bn_groups,
                          name="slow_bn1")(slow, not train)
         slow = nn.relu(slow).astype(self.dtype)
         slow = max_pool_3d(slow, (1, 3, 3), (1, 2, 2), (0, 1, 1))
         fast = _conv(cf, (5, 7, 7), (1, 2, 2), (2, 3, 3), self.dtype,
-                     "fast_conv1")(fast)
+                     "fast_conv1", quant=self.quant)(fast)
         fast = BatchNorm(dtype=self.dtype, groups=self.bn_groups,
                          name="fast_bn1")(fast, not train)
         fast = nn.relu(fast).astype(self.dtype)
         fast = max_pool_3d(fast, (1, 3, 3), (1, 2, 2), (0, 1, 1))
         slow = jnp.concatenate(
             [slow, _Lateral(self.alpha, self.dtype, self.bn_groups,
+                            quant=self.quant,
                             name="lateral_pool1")(fast, train)], axis=-1)
 
         # slow temporal kernels degenerate (1) in res2/3, real (3) in res4/5;
@@ -208,15 +214,17 @@ class SlowFastNet(nn.Module):
                 stride = 2 if (li > 0 and bi == 0) else 1
                 slow = block_cls(planes_s, slow_kt[li], stride,
                                  dtype=self.dtype, bn_groups=self.bn_groups,
+                                 quant=self.quant,
                                  name=f"slow_layer{li + 1}_block{bi + 1}",
                                  )(slow, train)
                 fast = block_cls(planes_f, 3, stride, dtype=self.dtype,
-                                 bn_groups=self.bn_groups,
+                                 bn_groups=self.bn_groups, quant=self.quant,
                                  name=f"fast_layer{li + 1}_block{bi + 1}",
                                  )(fast, train)
             if li < len(counts) - 1:  # no lateral after the last stage
                 slow = jnp.concatenate(
                     [slow, _Lateral(self.alpha, self.dtype, self.bn_groups,
+                                    quant=self.quant,
                                     name=f"lateral_res{li + 2}",
                                     )(fast, train)], axis=-1)
 

@@ -137,10 +137,14 @@ class CSTPPretrain(nn.Module):
                 extra_online["fused_conv"] = True
             if fc >= 1:
                 extra_target["fused_conv"] = True
-            if self.quant:
-                extra_target["quant"] = self.quant
-                if self.quant_scope == "all":
-                    extra_online["quant"] = self.quant
+        if self.quant:
+            # --quant int8/int8_fixed thread into EVERY family's towers
+            # (int8_store stays r21d-only — rejected up front by
+            # train/pretrain.py _check_trainable_quant); slowfast gained
+            # conv-site plumbing in round 5 (models/slowfast.py _conv)
+            extra_target["quant"] = self.quant
+            if self.quant_scope == "all":
+                extra_online["quant"] = self.quant
         self.online_net = make_backbone(
             self.backbone, self.depth, dtype=self.dtype, proj_flag=use_proj,
             bn_groups=g2, shortcut=self.shortcut, s2d_stem=self.s2d_stem,
@@ -275,10 +279,10 @@ class CSTPClassify(nn.Module):
             extra["mid_round"] = self.mid_round
         if self.t_fold and self.backbone.startswith("r21d"):
             extra["t_fold"] = True
-        if self.quant and not self.backbone.startswith("slowfast"):
-            # int8 modes are threaded through every registered single-tower
-            # backbone (r21d/c3d/r3d/s3d/i3d) since round 4; slowfast's
-            # dual-pathway blocks are the one family without quant plumbing
+        if self.quant:
+            # int8 modes are threaded through every registered backbone:
+            # r21d/c3d/r3d/s3d/i3d since round 4, slowfast (both pathways +
+            # laterals) since round 5 (models/slowfast.py _conv)
             extra["quant"] = self.quant
         if self.head_style == "i3d_conv":
             # the faithful reference i3d classifier lives INSIDE the

@@ -109,19 +109,27 @@ def test_online_net_actually_trains(setup):
     assert max(jax.tree_util.tree_leaves(diffs)) > 0.0
 
 
-def test_bn_stats_are_per_view_in_all_blocks():
+@pytest.mark.parametrize("backbone,depth", [
+    ("r21d", 1), ("c3d", 1), ("r3d", 18), ("s3d", 1), ("i3d", 1),
+    ("slowfast", 18),
+])
+def test_bn_stats_are_per_view_in_all_blocks(backbone, depth):
     """The two views run through each tower as ONE 2B batched call with BN
     groups doubled so train-mode statistics stay PER-VIEW (reference
     per-forward-call stats, r21d_byol.py:358-372). If any inner BatchNorm
-    mixed the views (regression: r21d ResLayers dropped bn_groups), view-1
-    outputs would depend on view-2's content."""
+    mixed the views, view-1 outputs would depend on view-2's content.
+
+    Parametrized over ALL families (VERDICT r4 #5): this bug class bit
+    twice undetected — r21d ResLayers dropped bn_groups (round 4 perf
+    campaign) and ResNet3D blocks dropped it again (commit 747a718) — and
+    the torch-parity suite can't see it (eval-mode / per-call patterns)."""
     from cstp_tpu.ssl.byol import CSTPPretrain
 
-    model = CSTPPretrain(backbone="r21d", depth=1, dtype=jnp.float32)
+    model = CSTPPretrain(backbone=backbone, depth=depth, dtype=jnp.float32)
     rng = np.random.default_rng(0)
-    x1 = jnp.asarray(rng.uniform(-1, 1, (2, 4, 32, 32, 3)), jnp.float32)
-    x2a = jnp.asarray(rng.uniform(-1, 1, (2, 4, 32, 32, 3)), jnp.float32)
-    x2b = jnp.asarray(rng.uniform(-1, 1, (2, 4, 32, 32, 3)), jnp.float32)
+    x1 = jnp.asarray(rng.uniform(-1, 1, (2, 8, 32, 32, 3)), jnp.float32)
+    x2a = jnp.asarray(rng.uniform(-1, 1, (2, 8, 32, 32, 3)), jnp.float32)
+    x2b = jnp.asarray(rng.uniform(-1, 1, (2, 8, 32, 32, 3)), jnp.float32)
     variables = model.init(jax.random.PRNGKey(0), x1, x2a, train=False)
 
     def run(x2):

@@ -254,17 +254,29 @@ def test_eval_only_quant_modes_rejected_on_train_steps(key):
             make_finetune_step(None, optax.sgd(0.1), cfg)
 
 
-def test_calibrate_checkpoint_rejects_siteless_backbone(tmp_path):
+def test_calibrate_checkpoint_rejects_siteless_backbone(tmp_path, monkeypatch):
     """ADVICE r3: calibrating a backbone with no quantized conv sites must
     fail loudly instead of writing a checkpoint that looks calibrated.
-    slowfast is the one remaining family without quant plumbing (round 4
-    threaded it through c3d/r3d/s3d/i3d)."""
+    Round 5 threaded quant through slowfast (the last holdout), so no
+    registered family is siteless anymore — simulate a FUTURE family added
+    without quant plumbing by stripping `quant` from slowfast's ctor (the
+    exact pre-round-5 behavior the guard was built for)."""
     import jax as _jax
 
+    import cstp_tpu.models as models_pkg
     from cstp_tpu.ckpt import checkpoint as ckpt_lib
     from cstp_tpu.config import Config
     from cstp_tpu.serve.quantize import calibrate_checkpoint
     from cstp_tpu.train.finetune import create_finetune_state
+
+    orig_ctor, spec_fn = models_pkg._REGISTRY["slowfast"]
+
+    def siteless_ctor(depth, dtype, proj_flag, **kw):
+        kw.pop("quant", None)  # a family whose blocks ignore --quant
+        return orig_ctor(depth=depth, dtype=dtype, proj_flag=proj_flag, **kw)
+
+    monkeypatch.setitem(models_pkg._REGISTRY, "slowfast",
+                        (siteless_ctor, spec_fn))
 
     cfg = Config(model_name="slowfast", model_depth=18, sample_duration=8,
                  sample_size=64, batch_size=2, n_finetune_classes=5,
@@ -418,12 +430,14 @@ def test_int8_store_pretrain_bootstraps_and_trains(key):
 
 
 @pytest.mark.parametrize("arch,depth", [("c3d", 1), ("r3d", 18),
-                                        ("s3d", 1), ("i3d", 1)])
+                                        ("s3d", 1), ("i3d", 1),
+                                        ("slowfast", 18)])
 def test_int8_calibrate_then_static_all_families(arch, depth):
-    """Every single-tower backbone family exposes the calibrate→int8_static
-    serving flow: the calib pass observes >0 conv sites (including i3d's
-    asymmetric TF-SAME convs through Conv3d's (lo, hi) padding) and the
-    static int8 forward tracks the float forward closely."""
+    """Every backbone family exposes the calibrate→int8_static serving flow:
+    the calib pass observes >0 conv sites (including i3d's asymmetric
+    TF-SAME convs through Conv3d's (lo, hi) padding, and slowfast's dual
+    pathways + laterals since round 5) and the static int8 forward tracks
+    the float forward closely."""
     from cstp_tpu.ssl.byol import CSTPClassify
 
     def n_scales(tree):
