@@ -78,7 +78,7 @@ def _measure_serving(n_dev, per_chip_bs=64, steps=8, warmup=2):
         cfg = Config(
             model_name="r21d", model_depth=1, sample_duration=16,
             sample_size=112, batch_size=per_chip_bs * n_dev,
-            compute_dtype="bfloat16", mesh_shape=(n_dev, 1), task="ft_all",
+            compute_dtype="bfloat16", mesh_shape=(n_dev, 1), task="test",
             quant=quant,
         ).finalize()
         mesh = create_mesh(cfg.mesh_shape, cfg.mesh_axes)
@@ -255,7 +255,10 @@ def main():
             make_finetune_step,
         )
 
-        cfg = dataclasses.replace(cfg, task="ft_all").finalize()
+        # eval/serve are eval-mode paths — task "test" (finalize() rejects
+        # eval-only --quant modes on training tasks, VERDICT r4 #8)
+        cfg = dataclasses.replace(
+            cfg, task="ft_all" if args.mode == "ft" else "test").finalize()
         model, state, tx = create_finetune_state(
             cfg, jax.random.PRNGKey(0), cfg.n_finetune_classes)
         state = shard_state(mesh, state)

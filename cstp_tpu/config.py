@@ -223,8 +223,24 @@ class Config:
                 stacklevel=2,
             )
 
+    # tasks whose driver step TRAINS (vs test/retrieval, which are
+    # eval-mode forwards); used by the finalize() quant-mode guards
+    _TRAIN_TASKS = ("loss_com", "r_byol", "ft_fc", "ft_all", "scratch",
+                    "resume")
+
     def finalize(self) -> "Config":
-        """Validate and derive fields; returns self for chaining."""
+        """Validate and derive fields; returns self for chaining.
+
+        Flag-COMBINATION validation is centralized here (VERDICT r4 #8):
+        with 81 flags and several documented-negative interactions, an
+        invalid combo must die at parse time with a message naming both
+        flags — not after a 15-minute tunnel compile. The step-construction
+        guards (`train/pretrain.py _check_trainable_quant`,
+        `ops/quant.py check_int8_calibrated`, `serve/quantize.py`) stay as
+        defense in depth for programmatically-built configs that skip
+        finalize. Platform-dependent checks (``--pallas_augment on`` off
+        TPU) remain runtime-only — the backend is unknown at parse time.
+        """
         assert self.task in (
             "loss_com", "r_byol", "ft_fc", "ft_all", "scratch", "test",
             "resume", "retrieval",
@@ -235,6 +251,61 @@ class Config:
         self.loss_weight = tuple(float(w) for w in self.loss_weight)
         assert len(self.loss_weight) == 5, "loss_weight must be 5 floats"
         assert self.grad_accum >= 1, "--grad_accum must be >= 1"
+
+        if (self.quant in ("int8_static", "int8_calib")
+                and self.task in self._TRAIN_TASKS):
+            raise ValueError(
+                f"--quant {self.quant} is an eval/serve/calibration mode "
+                f"and --train_task/--t_ft_task {self.task} drives a "
+                "TRAINING step: int8_static would quantize against "
+                "zero-initialized act_scale stats (every activation clips "
+                "to ~0) and int8_calib mutates batch_stats the train step "
+                "does not declare. Use --quant '' / int8 / int8_fixed for "
+                "training (train/pretrain.py _check_trainable_quant).")
+        if self.quant in ("int8_store", "int8_store_fz"):
+            if not self.model_name.startswith("r21d"):
+                raise ValueError(
+                    f"--quant {self.quant} is implemented for the r21d "
+                    f"factorized chain only; --model_name {self.model_name} "
+                    "would silently degrade it to dynamic per-tensor int8. "
+                    "Use --quant int8/int8_fixed for other families.")
+            for flag in ("s2d_stem", "t_fold", "fused_conv"):
+                if getattr(self, flag):
+                    raise ValueError(
+                        f"--quant {self.quant} and --{flag} rewrite the "
+                        "same factorized (2+1)D chain and are exclusive "
+                        "(models/layers.py SpatioTemporalConv).")
+        if self.fused_conv and self.quant:
+            raise ValueError(
+                "--fused_conv with --quant {0}: the Pallas-fused stride-1 "
+                "blocks always run FLOAT, so only the stem/downsample convs "
+                "would quantize — a silent partial quantization (the "
+                "failure class ADVICE r3/r4 guards exist to prevent). "
+                "Drop one of the two flags.".format(self.quant))
+        if self.fused_conv and self.t_fold:
+            raise ValueError(
+                "--fused_conv and --t_fold are conflicting rewrites of the "
+                "factorized conv chain: the fused kernel needs the 5-D "
+                "NDHWC activation the fold collapses. Pick one.")
+        if self.shard_spatial:
+            axes = tuple(self.mesh_axes)
+            if "model" not in axes:
+                raise ValueError(
+                    "--shard_spatial 1 needs a 'model' mesh axis "
+                    f"(--mesh_axes {axes} has none) — it would silently "
+                    "be a no-op.")
+            m = tuple(self.mesh_shape)[axes.index("model")]
+            if m != -1 and m <= 1:
+                raise ValueError(
+                    f"--shard_spatial 1 with --mesh_shape {self.mesh_shape}"
+                    ": the 'model' axis has size 1, so spatial "
+                    "partitioning would silently be a no-op. Use e.g. "
+                    "--mesh_shape -1 2.")
+        if self.batch_size % self.grad_accum:
+            raise ValueError(
+                f"--batch_size {self.batch_size} is not divisible by "
+                f"--grad_accum {self.grad_accum} (train/pretrain.py "
+                "_microbatches needs equal microbatches).")
         return self
 
     @property

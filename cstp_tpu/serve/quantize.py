@@ -59,7 +59,12 @@ def calibrate_checkpoint(config, md_path: str, out_path: str,
     from cstp_tpu.train.pretrain import create_pretrain_state  # noqa: F401
 
     num_classes = config.n_finetune_classes or config.n_classes
-    cfg = dataclasses.replace(config, quant="int8_calib").finalize()
+    # task 'test': calibration is an eval-mode forward regardless of what
+    # task the incoming config carries (finalize() rejects int8_calib on
+    # training tasks — VERDICT r4 #8); only model construction reads cfg
+    # here, and create_classify_model is task-independent.
+    cfg = dataclasses.replace(config, quant="int8_calib",
+                              task="test").finalize()
     model = create_classify_model(cfg, num_classes)
     t, s = cfg.sample_duration, cfg.sample_size
     variables = model.init(jax.random.PRNGKey(0),

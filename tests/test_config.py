@@ -72,3 +72,54 @@ def test_bare_legacy_model_name_warns_on_cli_parse():
         warnings.simplefilter("always")
         parse_opts(["--model_name", "r21d_byol", "--task", "loss_com"])
     assert not any("LEGACY" in str(x.message) for x in w)
+
+
+# ---------------------------------------------------------------------------
+# Centralized flag-combination validation (VERDICT r4 #8): every
+# documented-incompatible combo must die in finalize() at parse time —
+# naming both flags — instead of after a 15-minute tunnel compile.
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("kw,needle", [
+    # eval-only quant modes on training tasks (train/pretrain.py
+    # _check_trainable_quant's parse-time mirror)
+    (dict(quant="int8_static", task="loss_com"), "eval/serve"),
+    (dict(quant="int8_calib", task="ft_all"), "eval/serve"),
+    # int8_store is r21d-factorized-chain-only
+    (dict(quant="int8_store", model_name="c3d"), "r21d"),
+    (dict(quant="int8_store_fz", model_name="s3d"), "r21d"),
+    # int8_store x chain rewrites (models/layers.py assertion's mirror)
+    (dict(quant="int8_store", s2d_stem=True), "s2d_stem"),
+    (dict(quant="int8_store", t_fold=1), "t_fold"),
+    # fused_conv runs the stride-1 blocks FLOAT -> silent partial quant
+    (dict(fused_conv=1, quant="int8"), "fused_conv"),
+    (dict(fused_conv=1, quant="int8_fixed"), "fused_conv"),
+    # conflicting rewrites of the same chain
+    (dict(fused_conv=1, t_fold=1), "t_fold"),
+    # shard_spatial needs a >1 'model' mesh axis to do anything
+    (dict(shard_spatial=1, mesh_shape=(-1, 1)), "model"),
+    # microbatching must divide the global batch
+    (dict(batch_size=6, grad_accum=4), "grad_accum"),
+])
+def test_finalize_rejects_documented_incompatible_combos(kw, needle):
+    with pytest.raises(ValueError) as ei:
+        Config(**kw).finalize()
+    msg = str(ei.value)
+    assert needle in msg, msg
+    # the message names every flag involved so the fix is obvious
+    for flag in kw:
+        assert flag.lstrip("-") in msg.replace("-", "_"), (flag, msg)
+
+
+def test_finalize_accepts_the_valid_neighbours():
+    """The guards must not over-reject: each rejected combo's valid
+    neighbour finalizes fine."""
+    Config(quant="int8_static", task="test").finalize()
+    Config(quant="int8_calib", task="retrieval").finalize()
+    Config(quant="int8_store", model_name="r21d").finalize()
+    Config(fused_conv=1).finalize()
+    Config(t_fold=1, quant="int8").finalize()
+    Config(shard_spatial=1, mesh_shape=(-1, 2)).finalize()
+    Config(shard_spatial=1, mesh_shape=(4, -1)).finalize()
+    Config(batch_size=8, grad_accum=4).finalize()

@@ -236,8 +236,11 @@ def test_check_int8_calibrated_guards(key):
 
 
 def test_eval_only_quant_modes_rejected_on_train_steps(key):
-    """ADVICE r3: int8_static / int8_calib are serving/calibration modes —
-    the TRAIN step factories refuse them."""
+    """ADVICE r3: int8_static / int8_calib are serving/calibration modes.
+    Since VERDICT r4 #8 the rejection happens at PARSE time
+    (Config.finalize); the TRAIN step factories keep the same guard as
+    defense in depth for programmatically-built configs that skip
+    finalize()."""
     import optax
 
     from cstp_tpu.config import Config
@@ -245,9 +248,14 @@ def test_eval_only_quant_modes_rejected_on_train_steps(key):
     from cstp_tpu.train.pretrain import make_pretrain_step
 
     for quant in ("int8_static", "int8_calib"):
+        with pytest.raises(ValueError, match="eval/serve"):
+            Config(model_name="r21d", model_depth=1, sample_duration=4,
+                   sample_size=32, batch_size=4, quant=quant,
+                   task="ft_all").finalize()
+        # un-finalized config straight into the step factories
         cfg = Config(model_name="r21d", model_depth=1, sample_duration=4,
                      sample_size=32, batch_size=4, quant=quant,
-                     task="ft_all").finalize()
+                     task="ft_all")
         with pytest.raises(ValueError, match="eval/serve/calibration"):
             make_pretrain_step(None, optax.sgd(0.1), cfg)
         with pytest.raises(ValueError, match="eval/serve/calibration"):
@@ -490,3 +498,36 @@ def test_conv3d_asymmetric_padding_matches_nn_conv():
     out_b = b.apply({"params": {"kernel": va["params"]["kernel"]}}, x)
     np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_int8_conv_asymmetric_padding_matches_explicit_pad():
+    """ADVICE r4: the int8_conv path through asymmetric (lo, hi) padding —
+    what i3d's TF-SAME sites feed it under --quant int8_static since round
+    5 — must agree BITWISE with the same int8_conv on an explicitly
+    pre-padded input with zero pads (padding handling cannot change the
+    integer arithmetic), and track the float conv closely."""
+    from flax import linen as nn
+
+    from cstp_tpu.models.layers import glorot_conv_init
+    from cstp_tpu.ops.quant import int8_conv
+
+    pads = [(0, 1), (1, 2), (1, 2)]
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(0, 1, (2, 5, 9, 9, 4)).astype(np.float32))
+    w = jnp.asarray(rng.normal(0, 0.2, (2, 3, 3, 4, 6)).astype(np.float32))
+
+    out_a = int8_conv(x, w, (2, 2, 2), tuple(pads), jnp.float32,
+                      act_scale=0.05)
+    xp = jnp.pad(x, [(0, 0)] + [(lo, hi) for lo, hi in pads] + [(0, 0)])
+    out_b = int8_conv(xp, w, (2, 2, 2), ((0, 0), (0, 0), (0, 0)),
+                      jnp.float32, act_scale=0.05)
+    np.testing.assert_array_equal(np.asarray(out_a), np.asarray(out_b))
+
+    ref = nn.Conv(6, (2, 3, 3), (2, 2, 2), pads, use_bias=False,
+                  dtype=jnp.float32, param_dtype=jnp.float32,
+                  kernel_init=glorot_conv_init())
+    out_f = ref.apply({"params": {"kernel": w}}, x)
+    of = np.asarray(out_f, np.float64).ravel()
+    oq = np.asarray(out_a, np.float64).ravel()
+    corr = np.corrcoef(of, oq)[0, 1]
+    assert corr > 0.99, corr

@@ -1176,8 +1176,30 @@ def test_r21d_long_horizon_trajectory_parity(ref_r21d, fresh_compile_cache):
     )
 
     STEPS = int(os.environ.get("CSTP_LH_STEPS", "100"))
-    B, T, S = 2, 8, 56
+    # VERDICT r4 #6: at B=2/100 steps the heads sit at chance and the
+    # final-accuracy envelope is nearly vacuous; CSTP_LH_BATCH=8 with
+    # CSTP_LH_STEPS>=300 puts both frameworks well above chance so the
+    # accuracy leg discriminates.
+    B, T, S = int(os.environ.get("CSTP_LH_BATCH", "2")), 8, 56
     LR, W = 0.03, (0.1, 1.0, 1.0, 1.0, 1.0)
+
+    partial_path = os.path.join(os.path.dirname(__file__), "..", "results",
+                                "long_horizon_parity_partial.json")
+
+    def dump_partial(tag, hist, i):
+        # incremental dump (VERDICT r4 #6: tunnel/CPU runs are hours — a
+        # crash at step N must not lose the first N-1 steps)
+        if not os.environ.get("CSTP_LH_ARTIFACT"):
+            return
+        try:
+            with open(partial_path) as f:
+                blob = json.load(f)
+        except (OSError, ValueError):
+            blob = {"config": {"steps": STEPS, "batch": B,
+                               "clip": f"{T}x{S}^2"}}
+        blob[tag] = {"done_steps": i, **{k: list(v) for k, v in hist.items()}}
+        with open(partial_path, "w") as f:
+            json.dump(blob, f)
 
     tmod0 = ref_r21d.R21DBYOL(pretrain=True)
     tmod0.train()
@@ -1212,6 +1234,10 @@ def test_r21d_long_horizon_trajectory_parity(ref_r21d, fresh_compile_cache):
         hist = {"loss": [], "acc_spa": [], "acc_tem": [], "acc_pb": [],
                 "acc_rot": []}
         for i in range(STEPS):
+            if i and i % 25 == 0:
+                dump_partial(f"torch_t{threads}", hist, i)
+                print(f"  torch(threads={threads}) step {i}/{STEPS}",
+                      flush=True)
             x1, x2, spa, tem, pb, rot1, rot2 = _lh_stream_step(i, B, T, S)
             tx1 = torch.from_numpy(np.transpose(x1, (0, 4, 1, 2, 3)).copy())
             tx2 = torch.from_numpy(np.transpose(x2, (0, 4, 1, 2, 3)).copy())
@@ -1250,6 +1276,9 @@ def test_r21d_long_horizon_trajectory_parity(ref_r21d, fresh_compile_cache):
     lr = jnp.asarray(LR, jnp.float32)
     hist_j = {k: [] for k in hist_a}
     for i in range(STEPS):
+        if i and i % 25 == 0:
+            dump_partial("jax", hist_j, i)
+            print(f"  jax step {i}/{STEPS}", flush=True)
         x1, x2, spa, tem, pb, rot1, rot2 = _lh_stream_step(i, B, T, S)
         batch = {
             "view1": jnp.asarray(x1), "view2": jnp.asarray(x2),
