@@ -261,6 +261,12 @@ def main():
             cfg, task="ft_all" if args.mode == "ft" else "test").finalize()
         model, state, tx = create_finetune_state(
             cfg, jax.random.PRNGKey(0), cfg.n_finetune_classes)
+        if args.quant == "int8_static":
+            # init-state bench has no calibrated checkpoint: fill the
+            # act_scale sites so the quantized program runs non-degenerate
+            # numerics (same as _measure_serving)
+            state = state.replace(
+                batch_stats=_fill_act_scales(state.batch_stats))
         state = shard_state(mesh, state)
         if args.mode == "serve":
             # the deployment path: export the fused augment+forward+weights

@@ -55,6 +55,11 @@ def main(argv=None):
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--out", default="results/int8_serving_gate_full.json")
     ap.add_argument("--synthetic_len", type=int, default=256)
+    ap.add_argument("--resume", action="store_true",
+                    help="reuse completed rows from --out and the float "
+                         "logit cache (--out + '.float_logits.npz') — "
+                         "chains already present are skipped, so a killed "
+                         "run only repays the programs it still needs")
     args = ap.parse_args(argv)
 
     import jax
@@ -176,6 +181,15 @@ def main(argv=None):
         "calib": f"single-stream prefix snapshots at {calib_points}, "
                  f"batch {cb}"},
         "rows": []}
+    cache = args.out + ".float_logits.npz"
+    if args.resume and os.path.exists(args.out):
+        with open(args.out) as f:
+            report["rows"] = [r for r in json.load(f).get("rows", [])]
+        print(f"resume: {[r['tag'] for r in report['rows']]} present",
+              flush=True)
+
+    def find_row(tag):
+        return next((r for r in report["rows"] if r["tag"] == tag), None)
 
     def dump():
         os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
@@ -219,18 +233,29 @@ def main(argv=None):
                            if k.startswith("R@")}}
         return row, lg
 
-    print("== float chain ==", flush=True)
-    frow, flg = chain("float", fstate_model, float_bstats)
-    report["rows"].append(frow)
-    dump()
-    print(json.dumps(frow, indent=1), flush=True)
-    fcat = np.concatenate(flg, axis=0)
+    frow = find_row("float") if args.resume else None
+    if frow is not None and os.path.exists(cache):
+        fcat = np.load(cache)["logits"]
+        print("== float chain: resumed from cache ==", flush=True)
+    else:
+        print("== float chain ==", flush=True)
+        frow, flg = chain("float", fstate_model, float_bstats)
+        report["rows"] = [r for r in report["rows"] if r["tag"] != "float"]
+        report["rows"].insert(0, frow)
+        fcat = np.concatenate(flg, axis=0)
+        np.savez_compressed(cache, logits=fcat)
+        dump()
+        print(json.dumps(frow, indent=1), flush=True)
     fstd = float(fcat.std())
 
     q_model = create_classify_model(
         dataclasses.replace(base, quant="int8_static").finalize(),
         args.n_classes)
     for nb in calib_points:
+        if args.resume and find_row(f"int8_static(c{nb})") is not None:
+            print(f"== int8_static chain (calib {nb}): resumed ==",
+                  flush=True)
+            continue
         print(f"== int8_static chain (calib {nb}) ==", flush=True)
         row, qlg = chain(f"int8_static(c{nb})", q_model, snapshots[nb])
         qcat = np.concatenate(qlg, axis=0)

@@ -1182,25 +1182,57 @@ def test_r21d_long_horizon_trajectory_parity(ref_r21d, fresh_compile_cache):
     # accuracy leg discriminates.
     B, T, S = int(os.environ.get("CSTP_LH_BATCH", "2")), 8, 56
     LR, W = 0.03, (0.1, 1.0, 1.0, 1.0, 1.0)
+    # Null-baseline mode. 'threads': the torch loop rerun with 2 BLAS
+    # threads (different reduction orders) — the round-3/4 null, but
+    # UNRUNNABLE on a loaded 1-core box (OpenMP's spin-wait makes
+    # threads=2 ~10-30x slower than threads=1 there: measured <1
+    # step/min at B=8). 'ulp': the same threads=1 loop from an init
+    # perturbed by one ulp on a single stem weight — the classic chaotic
+    # -divergence null. It perturbs ONCE rather than at every reduction,
+    # so it under-spans a continuous rounding-difference process and
+    # yields a TIGHTER (stricter) envelope than 'threads'; the
+    # max(3x null, floor) bound keeps it usable either way.
+    NULL = os.environ.get("CSTP_LH_NULL", "threads")
 
     partial_path = os.path.join(os.path.dirname(__file__), "..", "results",
                                 "long_horizon_parity_partial.json")
+
+    def _partial_blob():
+        try:
+            with open(partial_path) as f:
+                return json.load(f)
+        except (OSError, ValueError):
+            return {"config": {"steps": STEPS, "batch": B,
+                               "clip": f"{T}x{S}^2", "null": NULL,
+                               "torch_seed": 0}}
 
     def dump_partial(tag, hist, i):
         # incremental dump (VERDICT r4 #6: tunnel/CPU runs are hours — a
         # crash at step N must not lose the first N-1 steps)
         if not os.environ.get("CSTP_LH_ARTIFACT"):
             return
-        try:
-            with open(partial_path) as f:
-                blob = json.load(f)
-        except (OSError, ValueError):
-            blob = {"config": {"steps": STEPS, "batch": B,
-                               "clip": f"{T}x{S}^2"}}
+        blob = _partial_blob()
         blob[tag] = {"done_steps": i, **{k: list(v) for k, v in hist.items()}}
         with open(partial_path, "w") as f:
             json.dump(blob, f)
 
+    def load_completed(tag):
+        """Resume: a leg already completed at THIS config by a previous
+        run of this test is reused verbatim. Valid because torch is
+        seeded below (manual_seed 0) — the init, the stream, and the
+        optimization are all bit-deterministic per (steps, batch, null)."""
+        if not os.environ.get("CSTP_LH_ARTIFACT"):
+            return None
+        blob = _partial_blob()
+        leg = blob.get(tag)
+        cfgb = blob.get("config", {})
+        if (leg and leg.get("done_steps") == STEPS
+                and cfgb.get("steps") == STEPS and cfgb.get("batch") == B
+                and cfgb.get("torch_seed") == 0):
+            return {k: v for k, v in leg.items() if k != "done_steps"}
+        return None
+
+    torch.manual_seed(0)  # bit-deterministic init => legs are resumable
     tmod0 = ref_r21d.R21DBYOL(pretrain=True)
     tmod0.train()
 
@@ -1225,9 +1257,18 @@ def test_r21d_long_horizon_trajectory_parity(ref_r21d, fresh_compile_cache):
     s = jax.tree.map(lambda a: np.array(a, copy=True), s)
     state = state.replace(params=p, batch_stats=s, opt_state=tx.init(p))
 
-    def run_torch(threads):
+    def run_torch(threads, tag, ulp=False):
+        done = load_completed(tag)
+        if done is not None:
+            print(f"  {tag}: resumed from partial artifact", flush=True)
+            return done
         torch.set_num_threads(threads)
         tm = copy.deepcopy(tmod0)
+        if ulp:
+            with torch.no_grad():
+                w = tm.online_net.conv1.spatial_conv.weight
+                w.view(-1)[0] = torch.nextafter(
+                    w.view(-1)[0], torch.tensor(float("inf")))
         opt = torch.optim.SGD(
             [q for q in tm.parameters() if q.requires_grad],
             lr=LR, momentum=0.9, weight_decay=5e-4)
@@ -1235,9 +1276,8 @@ def test_r21d_long_horizon_trajectory_parity(ref_r21d, fresh_compile_cache):
                 "acc_rot": []}
         for i in range(STEPS):
             if i and i % 25 == 0:
-                dump_partial(f"torch_t{threads}", hist, i)
-                print(f"  torch(threads={threads}) step {i}/{STEPS}",
-                      flush=True)
+                dump_partial(tag, hist, i)
+                print(f"  {tag} step {i}/{STEPS}", flush=True)
             x1, x2, spa, tem, pb, rot1, rot2 = _lh_stream_step(i, B, T, S)
             tx1 = torch.from_numpy(np.transpose(x1, (0, 4, 1, 2, 3)).copy())
             tx2 = torch.from_numpy(np.transpose(x2, (0, 4, 1, 2, 3)).copy())
@@ -1269,28 +1309,37 @@ def test_r21d_long_horizon_trajectory_parity(ref_r21d, fresh_compile_cache):
         torch.set_num_threads(1)
         return hist
 
-    hist_a = run_torch(1)
-    hist_b = run_torch(2)  # intra-framework null baseline
+    hist_a = run_torch(1, "torch_t1")
+    # intra-framework null baseline (envelope source) — see NULL above
+    if NULL == "ulp":
+        hist_b = run_torch(1, "torch_ulp", ulp=True)
+    else:
+        hist_b = run_torch(2, "torch_t2")
+    dump_partial("torch_t1", hist_a, STEPS)
+    dump_partial("torch_ulp" if NULL == "ulp" else "torch_t2", hist_b, STEPS)
 
-    step = make_preaugmented_step(model, tx, cfg)
-    lr = jnp.asarray(LR, jnp.float32)
-    hist_j = {k: [] for k in hist_a}
-    for i in range(STEPS):
-        if i and i % 25 == 0:
-            dump_partial("jax", hist_j, i)
-            print(f"  jax step {i}/{STEPS}", flush=True)
-        x1, x2, spa, tem, pb, rot1, rot2 = _lh_stream_step(i, B, T, S)
-        batch = {
-            "view1": jnp.asarray(x1), "view2": jnp.asarray(x2),
-            "spa": jnp.asarray(spa.astype(np.int32)),
-            "tem": jnp.asarray(tem.astype(np.int32)),
-            "pb": jnp.asarray(pb.astype(np.int32)),
-            "rot1": jnp.asarray(rot1.astype(np.int32)),
-            "rot2": jnp.asarray(rot2.astype(np.int32)),
-        }
-        state, metrics = step(state, batch, lr)
-        for k in hist_j:
-            hist_j[k].append(float(metrics[k]))
+    hist_j = load_completed("jax")
+    if hist_j is None:
+        step = make_preaugmented_step(model, tx, cfg)
+        lr = jnp.asarray(LR, jnp.float32)
+        hist_j = {k: [] for k in hist_a}
+        for i in range(STEPS):
+            if i and i % 25 == 0:
+                dump_partial("jax", hist_j, i)
+                print(f"  jax step {i}/{STEPS}", flush=True)
+            x1, x2, spa, tem, pb, rot1, rot2 = _lh_stream_step(i, B, T, S)
+            batch = {
+                "view1": jnp.asarray(x1), "view2": jnp.asarray(x2),
+                "spa": jnp.asarray(spa.astype(np.int32)),
+                "tem": jnp.asarray(tem.astype(np.int32)),
+                "pb": jnp.asarray(pb.astype(np.int32)),
+                "rot1": jnp.asarray(rot1.astype(np.int32)),
+                "rot2": jnp.asarray(rot2.astype(np.int32)),
+            }
+            state, metrics = step(state, batch, lr)
+            for k in hist_j:
+                hist_j[k].append(float(metrics[k]))
+        dump_partial("jax", hist_j, STEPS)
 
     def smooth(x, w=10):
         return np.convolve(np.asarray(x, np.float64),
@@ -1312,13 +1361,16 @@ def test_r21d_long_horizon_trajectory_parity(ref_r21d, fresh_compile_cache):
         a_bound = max(3.0 * a_intra, 0.10)
         acc_report[k] = {"torch": fa, "torch_alt": fb, "jax": fj,
                          "intra": a_intra, "bound": a_bound}
-        assert abs(fa - fj) <= a_bound, (k, acc_report[k])
 
     if os.environ.get("CSTP_LH_ARTIFACT"):
         out = {
             "config": {"steps": STEPS, "batch": B, "clip": f"{T}x{S}^2",
                        "lr": LR, "loss_weight": W, "dtype": "float32",
-                       "torch_threads_null_baseline": [1, 2]},
+                       "torch_seed": 0,
+                       "null_baseline": ("threads=1 vs 2"
+                                         if NULL == "threads"
+                                         else "1-ulp init perturbation, "
+                                              "threads=1")},
             "loss_torch": hist_a["loss"], "loss_torch_alt": hist_b["loss"],
             "loss_jax": hist_j["loss"],
             "smoothed_drift": {"intra_torch": intra, "cross": cross,
@@ -1330,6 +1382,10 @@ def test_r21d_long_horizon_trajectory_parity(ref_r21d, fresh_compile_cache):
         with open(path, "w") as f:
             json.dump(out, f, indent=1)
 
+    # asserts AFTER the artifact dump: a failed envelope must still leave
+    # the full data on disk for diagnosis
+    for k, r in acc_report.items():
+        assert abs(r["torch"] - r["jax"]) <= r["bound"], (k, r)
     assert cross <= bound, (
         f"smoothed loss drift {cross:.4f} exceeds envelope {bound:.4f} "
         f"(intra-torch null: {intra:.4f})")
