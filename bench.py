@@ -231,6 +231,10 @@ def main():
         batch_size=per_chip_bs * n_dev,
         compute_dtype="bfloat16",
         mesh_shape=(n_dev, 1),
+        # task must match the mode from the FIRST finalize(): eval/serve
+        # are eval-mode paths and finalize() rejects eval-only --quant
+        # modes on training tasks (VERDICT r4 #8)
+        task={"pretrain": "loss_com", "ft": "ft_all"}.get(args.mode, "test"),
         remat=args.remat,
         remat_policy=args.remat_policy,
         concat_views=args.concat_views,
