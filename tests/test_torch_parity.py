@@ -1320,12 +1320,56 @@ def test_r21d_long_horizon_trajectory_parity(ref_r21d, fresh_compile_cache):
 
     hist_j = load_completed("jax")
     if hist_j is None:
+        # Mid-leg resume (learned the hard way: a session ended at jax step
+        # 75/300 and the metric history alone could not resume the leg —
+        # the optimizer/BN/EMA state was gone). Alongside each 25-step
+        # partial dump we pickle the full train state; a rerun restores it
+        # and continues bit-exactly (CPU numpy round-trip is lossless, the
+        # per-step stream is seeded by step index).
+        import pickle
+
+        state_path = os.path.join(os.path.dirname(__file__), "..",
+                                  "results",
+                                  "long_horizon_parity_jaxstate.pkl")
+        start = 0
+        if os.environ.get("CSTP_LH_ARTIFACT"):
+            blob = _partial_blob()
+            leg, cfgb = blob.get("jax"), blob.get("config", {})
+            if (leg and cfgb.get("steps") == STEPS
+                    and cfgb.get("batch") == B
+                    and os.path.exists(state_path)):
+                with open(state_path, "rb") as f:
+                    saved = pickle.load(f)
+                if saved.get("step") == leg.get("done_steps"):
+                    start = saved["step"]
+                    state = state.replace(
+                        params=saved["params"],
+                        batch_stats=saved["batch_stats"],
+                        opt_state=saved["opt_state"])
+                    hist_j = {k: list(leg[k][:start]) for k in hist_a}
+                    print(f"  jax: resumed mid-leg at step {start}",
+                          flush=True)
+
+        def dump_jax_state(i):
+            if not os.environ.get("CSTP_LH_ARTIFACT"):
+                return
+            blob = {"step": i,
+                    "params": jax.device_get(state.params),
+                    "batch_stats": jax.device_get(state.batch_stats),
+                    "opt_state": jax.device_get(state.opt_state)}
+            tmp = state_path + ".tmp"
+            with open(tmp, "wb") as f:
+                pickle.dump(blob, f)
+            os.replace(tmp, state_path)
+
         step = make_preaugmented_step(model, tx, cfg)
         lr = jnp.asarray(LR, jnp.float32)
-        hist_j = {k: [] for k in hist_a}
-        for i in range(STEPS):
+        if start == 0:
+            hist_j = {k: [] for k in hist_a}
+        for i in range(start, STEPS):
             if i and i % 25 == 0:
                 dump_partial("jax", hist_j, i)
+                dump_jax_state(i)
                 print(f"  jax step {i}/{STEPS}", flush=True)
             x1, x2, spa, tem, pb, rot1, rot2 = _lh_stream_step(i, B, T, S)
             batch = {
